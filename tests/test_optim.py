@@ -1,0 +1,227 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from weiner_slamit_v2_tpu.geometry import se3
+from weiner_slamit_v2_tpu.geometry.camera import Camera
+from weiner_slamit_v2_tpu.optim.local_ba import BAProblem, solve_ba
+
+
+def make_ba_problem(
+    n_cams=6,
+    n_pts=200,
+    max_obs=8,
+    seed=0,
+    pose_noise=0.05,
+    point_noise=0.05,
+    pix_noise=0.5,
+    n_fixed=1,
+):
+    """Synthetic BA problem with known ground truth."""
+    rng = np.random.default_rng(seed)
+    cam = Camera.create(500.0, 500.0, 320.0, 240.0)
+    K = jnp.asarray(np.asarray(cam.K), jnp.float32)
+
+    # ground-truth: cameras on a short arc, points in front
+    gt_poses = []
+    for i in range(n_cams):
+        xi = jnp.asarray(
+            [0.15 * i, 0.02 * np.sin(i), 0.0, 0.0, -0.02 * i, 0.0], jnp.float32
+        )
+        gt_poses.append(se3.exp(xi))
+    gt_poses = jnp.stack(gt_poses)
+    X_gt = np.stack(
+        [rng.uniform(-2, 3, n_pts), rng.uniform(-1.5, 1.5, n_pts), rng.uniform(4, 9, n_pts)],
+        axis=1,
+    ).astype(np.float32)
+
+    # observations: each point seen by a random subset of cams
+    obs_cam = np.full((n_pts, max_obs), -1, np.int32)
+    obs_uv = np.zeros((n_pts, max_obs, 2), np.float32)
+    obs_valid = np.zeros((n_pts, max_obs), bool)
+    for p in range(n_pts):
+        cams = rng.permutation(n_cams)[: rng.integers(3, min(n_cams, max_obs) + 1)]
+        for o, c in enumerate(cams):
+            uv = np.asarray(cam.project(se3.apply(gt_poses[c], jnp.asarray(X_gt[p]))))
+            if not (0 <= uv[0] < 640 and 0 <= uv[1] < 480):
+                continue
+            obs_cam[p, o] = c
+            obs_uv[p, o] = uv + rng.normal(0, pix_noise, 2)
+            obs_valid[p, o] = True
+
+    # perturb initial estimates (fixed cams keep ground truth)
+    init_poses = []
+    for i in range(n_cams):
+        if i < n_fixed:
+            init_poses.append(gt_poses[i])
+        else:
+            noise = jnp.asarray(
+                rng.normal(0, pose_noise, 6) * np.array([1, 1, 1, 0.3, 0.3, 0.3]),
+                jnp.float32,
+            )
+            init_poses.append(se3.retract(gt_poses[i], noise))
+    X_init = X_gt + rng.normal(0, point_noise, X_gt.shape).astype(np.float32)
+
+    prob = BAProblem(
+        cam_pose=jnp.stack(init_poses),
+        cam_fixed=jnp.arange(n_cams) < n_fixed,
+        cam_valid=jnp.ones(n_cams, bool),
+        points=jnp.asarray(X_init),
+        point_valid=jnp.ones(n_pts, bool),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_inv_sigma2=jnp.ones((n_pts, max_obs), jnp.float32),
+        obs_valid=jnp.asarray(obs_valid),
+        K=K,
+    )
+    return prob, gt_poses, jnp.asarray(X_gt)
+
+
+def pose_errors(est, gt):
+    d = jax.vmap(lambda a, b: se3.log(se3.inv(a) @ b))(est, gt)
+    return np.abs(np.asarray(d)).max(axis=1)
+
+
+class TestLocalBA:
+    def test_converges_to_ground_truth(self):
+        prob, gt_poses, X_gt = make_ba_problem(pix_noise=0.0)
+        res = solve_ba(prob)
+        errs = pose_errors(res.cam_pose, gt_poses)
+        assert errs.max() < 2e-3, errs
+        pt_err = np.linalg.norm(np.asarray(res.points - X_gt), axis=1)
+        assert np.median(pt_err) < 5e-3
+
+    def test_noisy_observations(self):
+        prob, gt_poses, X_gt = make_ba_problem(pix_noise=0.7, seed=1)
+        res = solve_ba(prob)
+        errs = pose_errors(res.cam_pose, gt_poses)
+        assert errs.max() < 2e-2, errs
+        # most observations retained as inliers
+        base = np.asarray(prob.obs_valid)
+        inl = np.asarray(res.obs_inlier)
+        assert inl.sum() > 0.95 * base.sum()
+
+    def test_fixed_cameras_stay_fixed(self):
+        prob, gt_poses, X_gt = make_ba_problem(n_fixed=2, seed=2)
+        res = solve_ba(prob)
+        np.testing.assert_allclose(
+            np.asarray(res.cam_pose[:2]), np.asarray(prob.cam_pose[:2]), atol=1e-7
+        )
+
+    def test_outlier_observations_rejected(self):
+        prob, gt_poses, X_gt = make_ba_problem(seed=3, pix_noise=0.3)
+        # corrupt 5% of observations grossly
+        rng = np.random.default_rng(4)
+        uv = np.asarray(prob.obs_uv).copy()
+        valid = np.asarray(prob.obs_valid)
+        flat = np.argwhere(valid)
+        sel = flat[rng.permutation(len(flat))[: int(0.05 * len(flat))]]
+        for p, o in sel:
+            uv[p, o] += rng.uniform(30, 100, 2)
+        prob = prob.replace(obs_uv=jnp.asarray(uv))
+        res = solve_ba(prob)
+        errs = pose_errors(res.cam_pose, gt_poses)
+        assert errs.max() < 2e-2, errs
+        # corrupted obs flagged as outliers
+        inl = np.asarray(res.obs_inlier)
+        n_bad_kept = sum(bool(inl[p, o]) for p, o in sel)
+        assert n_bad_kept < 0.1 * len(sel)
+
+    def test_invalid_slots_ignored(self):
+        prob, gt_poses, X_gt = make_ba_problem(seed=5)
+        # invalidate half the points; their positions must not change
+        n = prob.points.shape[0]
+        pv = jnp.arange(n) < n // 2
+        prob2 = prob.replace(point_valid=pv)
+        res = solve_ba(prob2)
+        np.testing.assert_allclose(
+            np.asarray(res.points[n // 2 :]),
+            np.asarray(prob.points[n // 2 :]),
+            atol=1e-7,
+        )
+
+
+class TestSlamMap:
+    def _tiny_map(self):
+        from weiner_slamit_v2_tpu.config import MapCapacityConfig
+        from weiner_slamit_v2_tpu.slam_map.types import empty_map
+
+        cap = MapCapacityConfig(
+            max_keyframes=8, max_map_points=64, max_obs_per_point=8,
+            local_ba_window=4, local_ba_points=64,
+        )
+        return empty_map(cap, n_features=16), cap
+
+    def test_add_keyframe_and_points(self):
+        from weiner_slamit_v2_tpu.slam_map import types as mt
+
+        m, cap = self._tiny_map()
+        n = 16
+        pose = jnp.eye(4)
+        xy = jnp.zeros((n, 2))
+        octv = jnp.zeros(n, jnp.int32)
+        ang = jnp.zeros(n)
+        desc = jnp.zeros((n, 8), jnp.uint32)
+        fv = jnp.ones(n, bool)
+        obs = jnp.full(n, -1, jnp.int32)
+        m, kf0 = mt.add_keyframe(
+            m, pose, xy, octv, ang, desc, fv, obs,
+            jnp.asarray(0), jnp.asarray(0.0), jnp.asarray(-1),
+        )
+        assert int(kf0) == 0 and int(m.n_kf) == 1
+
+        # insert 4 map points observed by kf0 features 0..3
+        B = 4
+        m, ids = mt.add_map_points(
+            m,
+            pos=jnp.ones((B, 3)),
+            desc=jnp.zeros((B, 8), jnp.uint32),
+            normal=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (B, 1)),
+            min_dist=jnp.ones(B),
+            max_dist=jnp.full(B, 10.0),
+            kf1=jnp.zeros(B, jnp.int32),
+            feat1=jnp.arange(B, dtype=jnp.int32),
+            kf2=jnp.full(B, -1, jnp.int32),
+            feat2=jnp.zeros(B, jnp.int32),
+            valid=jnp.ones(B, bool),
+        )
+        assert int(m.n_mp) == 4
+        np.testing.assert_array_equal(np.asarray(ids), [0, 1, 2, 3])
+        np.testing.assert_array_equal(np.asarray(m.kf_obs[0, :4]), [0, 1, 2, 3])
+        assert int(m.mp_n_obs[0]) == 1
+
+    def test_covisibility(self):
+        from weiner_slamit_v2_tpu.slam_map import types as mt
+        from weiner_slamit_v2_tpu.slam_map.covisibility import covisibility_matrix
+
+        m, cap = self._tiny_map()
+        n = 16
+        mk = lambda: (
+            jnp.eye(4), jnp.zeros((n, 2)), jnp.zeros(n, jnp.int32), jnp.zeros(n),
+            jnp.zeros((n, 8), jnp.uint32), jnp.ones(n, bool),
+        )
+        # kf0 with points 0..7 on features 0..7
+        pose, xy, octv, ang, desc, fv = mk()
+        m, kf0 = mt.add_keyframe(
+            m, pose, xy, octv, ang, desc, fv, jnp.full(n, -1, jnp.int32),
+            jnp.asarray(0), jnp.asarray(0.0), jnp.asarray(-1),
+        )
+        B = 8
+        m, ids = mt.add_map_points(
+            m, jnp.ones((B, 3)), jnp.zeros((B, 8), jnp.uint32),
+            jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (B, 1)), jnp.ones(B),
+            jnp.full(B, 10.0), jnp.zeros(B, jnp.int32),
+            jnp.arange(B, dtype=jnp.int32), jnp.full(B, -1, jnp.int32),
+            jnp.zeros(B, jnp.int32), jnp.ones(B, bool),
+        )
+        # kf1 observes points 0..4 (5 shared)
+        obs1 = jnp.where(jnp.arange(n) < 5, jnp.arange(n), -1)
+        pose, xy, octv, ang, desc, fv = mk()
+        m, kf1 = mt.add_keyframe(
+            m, pose, xy, octv, ang, desc, fv, obs1,
+            jnp.asarray(1), jnp.asarray(0.1), jnp.asarray(0),
+        )
+        W = covisibility_matrix(m)
+        assert int(W[0, 1]) == 5 and int(W[1, 0]) == 5
+        assert int(W[0, 0]) == 0
+        assert int(m.mp_n_obs[0]) == 2

@@ -1,0 +1,282 @@
+"""Dataset loaders: TUM RGB-D, EuRoC MAV, KITTI odometry, and synthetic.
+
+Replaces the reference's Android "dataset mode" (iterate a directory of
+timestamp-named images —
+java/orb/slam2/android/ORBSLAMForDataSetActivity.java:120-160) with proper
+host-side loaders. Image decode is host-side I/O (PIL), never part of the
+device compute path.
+
+The synthetic generator renders a textured fronto-parallel world under a known
+camera trajectory; it is the deterministic stand-in for real datasets in tests
+and benches (no network egress in the build environment).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+
+
+@dataclass
+class FrameData:
+    timestamp: float
+    image: np.ndarray            # (H, W) float32 grayscale in [0, 255]
+    depth: np.ndarray | None = None   # (H, W) float32 meters, RGB-D only
+    image_right: np.ndarray | None = None  # (H, W) stereo right
+
+
+@dataclass
+class Sequence:
+    frames: list[FrameData]
+    gt_Twc: np.ndarray | None = None  # (N, 4, 4) ground truth if available
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    def __iter__(self) -> Iterator[FrameData]:
+        return iter(self.frames)
+
+
+def _load_gray(path: str) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("L")
+    return np.asarray(img, dtype=np.float32)
+
+
+def load_tum_rgbd(
+    root: str, max_frames: int | None = None, with_depth: bool = True
+) -> Sequence:
+    """Load a TUM RGB-D sequence directory (rgb.txt / depth.txt / groundtruth.txt)."""
+
+    def read_list(name):
+        entries = []
+        p = os.path.join(root, name)
+        if not os.path.exists(p):
+            return entries
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split()
+                entries.append((float(parts[0]), parts[1] if len(parts) > 1 else None))
+        return entries
+
+    rgb = read_list("rgb.txt")
+    depth = read_list("depth.txt") if with_depth else []
+    if max_frames:
+        rgb = rgb[:max_frames]
+
+    # associate depth to rgb by nearest timestamp (within 20ms)
+    dts = np.array([t for t, _ in depth]) if depth else None
+    frames = []
+    for ts, rel in rgb:
+        d = None
+        if dts is not None and len(dts):
+            j = int(np.argmin(np.abs(dts - ts)))
+            if abs(dts[j] - ts) < 0.02:
+                d = _load_gray(os.path.join(root, depth[j][1])) / 5000.0
+        frames.append(FrameData(timestamp=ts, image=_load_gray(os.path.join(root, rel)), depth=d))
+
+    gt = None
+    gt_path = os.path.join(root, "groundtruth.txt")
+    if os.path.exists(gt_path):
+        from .trajectory import load_tum
+        from ..geometry import se3  # noqa: F401
+
+        gts, gt_Twc = load_tum(gt_path)
+        # nearest-timestamp association per frame
+        idx = [int(np.argmin(np.abs(gts - f.timestamp))) for f in frames]
+        gt = gt_Twc[idx]
+    return Sequence(frames=frames, gt_Twc=gt)
+
+
+def load_kitti_odometry(
+    root: str, sequence: str = "00", max_frames: int | None = None, stereo: bool = True
+) -> Sequence:
+    """Load a KITTI odometry sequence (image_0/image_1 grayscale pairs)."""
+    seq_dir = os.path.join(root, "sequences", sequence)
+    left_dir = os.path.join(seq_dir, "image_0")
+    right_dir = os.path.join(seq_dir, "image_1")
+    names = sorted(os.listdir(left_dir))
+    if max_frames:
+        names = names[:max_frames]
+    times_path = os.path.join(seq_dir, "times.txt")
+    times = (
+        [float(l) for l in open(times_path)] if os.path.exists(times_path)
+        else list(np.arange(len(names)) * 0.1)
+    )
+    frames = []
+    for i, name in enumerate(names):
+        right = None
+        if stereo and os.path.isdir(right_dir):
+            right = _load_gray(os.path.join(right_dir, name))
+        frames.append(
+            FrameData(timestamp=times[i], image=_load_gray(os.path.join(left_dir, name)),
+                      image_right=right)
+        )
+    gt = None
+    poses_path = os.path.join(root, "poses", f"{sequence}.txt")
+    if os.path.exists(poses_path):
+        rows = np.loadtxt(poses_path).reshape(-1, 3, 4)
+        gt = np.tile(np.eye(4), (len(rows), 1, 1))
+        gt[:, :3, :4] = rows
+        gt = gt[: len(frames)]
+    return Sequence(frames=frames, gt_Twc=gt)
+
+
+def load_euroc(root: str, max_frames: int | None = None) -> Sequence:
+    """Load a EuRoC MAV sequence (mav0/cam0 + state_groundtruth_estimate0)."""
+    cam_dir = os.path.join(root, "mav0", "cam0")
+    csv_path = os.path.join(cam_dir, "data.csv")
+    entries = []
+    with open(csv_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            ts_ns, name = line.split(",")[:2]
+            entries.append((int(ts_ns) * 1e-9, name.strip()))
+    if max_frames:
+        entries = entries[:max_frames]
+    frames = [
+        FrameData(timestamp=ts, image=_load_gray(os.path.join(cam_dir, "data", name)))
+        for ts, name in entries
+    ]
+    return Sequence(frames=frames, gt_Twc=None)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic data (deterministic; replaces real datasets in tests/benches)
+# ---------------------------------------------------------------------------
+
+
+def _perlin_texture(h: int, w: int, rng: np.random.Generator, octaves: int = 5) -> np.ndarray:
+    """Multi-octave value-noise texture with plenty of corners for FAST."""
+    img = np.zeros((h, w), dtype=np.float32)
+    for o in range(octaves):
+        step = 2 ** (octaves - o + 2)
+        gh, gw = h // step + 2, w // step + 2
+        grid = rng.uniform(0, 1, size=(gh, gw)).astype(np.float32)
+        big = np.kron(grid, np.ones((step, step), dtype=np.float32))[:h, :w]
+        img += big * (0.5**o)
+    # sprinkle high-contrast blocks (checkerboard patches) for strong corners
+    for _ in range(160):
+        y = rng.integers(8, h - 24)
+        x = rng.integers(8, w - 24)
+        s = int(rng.integers(6, 18))
+        val = rng.uniform(0, 1)
+        img[y : y + s, x : x + s] = val
+    img -= img.min()
+    img /= max(img.max(), 1e-6)
+    return (img * 255.0).astype(np.float32)
+
+
+@dataclass
+class SyntheticWorld:
+    """A textured plane at z = plane_depth viewed by a moving camera.
+
+    Using a plane lets every synthetic frame be rendered *exactly* with a
+    homography (no occlusion), giving pixel-accurate ground truth for the
+    whole front-end and tracking stack.
+    """
+
+    texture: np.ndarray
+    K: np.ndarray                # intrinsics of the *view* camera
+    plane_depth: float
+    pixels_per_meter: float      # plane-coords -> texture-pixels scale
+
+    def render(self, Tcw: np.ndarray, h: int, w: int) -> np.ndarray:
+        """Render the view from pose Tcw (world->cam) with bilinear sampling."""
+        K = self.K
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        d = self.plane_depth
+        # For each output pixel, cast a ray and intersect the plane z=d (world).
+        us, vs = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+        ray = np.stack([(us - cx) / fx, (vs - cy) / fy, np.ones_like(us)], axis=-1)
+        R = Tcw[:3, :3].astype(np.float32)
+        t = Tcw[:3, 3].astype(np.float32)
+        Rt = R.T
+        C = -Rt @ t  # camera center in world
+        ray_w = ray @ Rt.T  # rotate rays to world frame
+        lam = (d - C[2]) / np.maximum(ray_w[..., 2], 1e-6)
+        Xw = C[None, None, :] + lam[..., None] * ray_w
+        th, tw = self.texture.shape
+        tu = Xw[..., 0] * self.pixels_per_meter + tw / 2.0
+        tv = Xw[..., 1] * self.pixels_per_meter + th / 2.0
+        return _bilinear_sample(self.texture, tu, tv)
+
+
+def _bilinear_sample(img: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    h, w = img.shape
+    u0 = np.floor(u).astype(np.int32)
+    v0 = np.floor(v).astype(np.int32)
+    du = (u - u0).astype(np.float32)
+    dv = (v - v0).astype(np.float32)
+    u0c = np.clip(u0, 0, w - 2)
+    v0c = np.clip(v0, 0, h - 2)
+    a = img[v0c, u0c]
+    b = img[v0c, u0c + 1]
+    c = img[v0c + 1, u0c]
+    e = img[v0c + 1, u0c + 1]
+    out = (
+        a * (1 - du) * (1 - dv) + b * du * (1 - dv) + c * (1 - du) * dv + e * du * dv
+    )
+    inside = (u >= 0) & (u < w - 1) & (v >= 0) & (v < h - 1)
+    return np.where(inside, out, 0.0).astype(np.float32)
+
+
+def make_synthetic_sequence(
+    n_frames: int = 30,
+    h: int = 480,
+    w: int = 640,
+    seed: int = 0,
+    K: np.ndarray | None = None,
+    motion: str = "strafe",
+    plane_depth: float = 4.0,
+) -> Sequence:
+    """Deterministic synthetic monocular sequence with exact ground truth.
+
+    motion: "strafe" (sideways translation — good parallax for mono init),
+    "orbit" (translation + small rotations), "forward".
+    """
+    rng = np.random.default_rng(seed)
+    if K is None:
+        K = np.array([[500.0, 0, w / 2 - 0.5], [0, 500.0, h / 2 - 0.5], [0, 0, 1]], dtype=np.float32)
+    # texture covers more than the view so motion never leaves it; texture
+    # resolution matches the view at the start pose (ppm = fx / depth)
+    world = SyntheticWorld(
+        texture=_perlin_texture(int(h * 2.5), int(w * 2.5), rng),
+        K=K,
+        plane_depth=plane_depth,
+        pixels_per_meter=float(K[0, 0]) / plane_depth,
+    )
+    from ..geometry import se3
+    import jax.numpy as jnp
+
+    frames = []
+    gt = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        a = i / max(n_frames - 1, 1)
+        if motion == "strafe":
+            twc = np.array([0.8 * a, 0.15 * np.sin(2 * np.pi * a), 0.0])
+            rot = np.array([0.0, 0.0, 0.0])
+        elif motion == "orbit":
+            twc = np.array([0.6 * np.sin(np.pi * a), 0.1 * a, 0.2 * (1 - np.cos(np.pi * a))])
+            rot = np.array([0.02 * np.sin(2 * np.pi * a), -0.08 * np.sin(np.pi * a), 0.01 * a])
+        else:  # forward
+            twc = np.array([0.05 * np.sin(2 * np.pi * a), 0.0, 0.9 * a])
+            rot = np.array([0.0, 0.0, 0.0])
+        R = np.asarray(se3.so3_exp(jnp.asarray(rot, dtype=jnp.float32)))
+        Twc = np.eye(4)
+        Twc[:3, :3] = R
+        Twc[:3, 3] = twc
+        gt[i] = Twc
+        Tcw = np.linalg.inv(Twc)
+        img = world.render(Tcw, h, w)
+        frames.append(FrameData(timestamp=i / 30.0, image=img))
+    return Sequence(frames=frames, gt_Twc=gt)
