@@ -157,7 +157,7 @@ class TestPoseOptimization:
             axis=1,
         ).astype(np.float32)
         T_true = se3.exp(jnp.asarray([0.1, -0.05, 0.2, 0.03, 0.05, -0.02]))
-        uv = np.asarray(cam.project(se3.apply(T_true, jnp.asarray(X))))
+        uv = np.array(cam.project(se3.apply(T_true, jnp.asarray(X))))
         uv += rng.normal(0, noise, uv.shape).astype(np.float32)
         n_out = int(outlier_frac * n)
         if n_out:

@@ -1,0 +1,126 @@
+import numpy as np
+import pytest
+
+from weiner_slamit_v2_tpu.config import (
+    CameraConfig,
+    MapCapacityConfig,
+    OrbConfig,
+    SlamConfig,
+)
+from weiner_slamit_v2_tpu.geometry.camera import Camera
+from weiner_slamit_v2_tpu.io.datasets import make_synthetic_sequence
+from weiner_slamit_v2_tpu.io.evaluation import ate_rmse
+from weiner_slamit_v2_tpu.tracking.system import System
+
+H, W = 240, 320
+K = np.array([[300.0, 0, 159.5], [0, 300.0, 119.5], [0, 0, 1]], np.float32)
+
+
+def small_config():
+    return SlamConfig(
+        orb=OrbConfig(n_features=256),
+        camera=CameraConfig(
+            fx=300, fy=300, cx=159.5, cy=119.5, k1=0, k2=0, p1=0, p2=0, k3=0,
+            width=W, height=H,
+        ),
+        capacity=MapCapacityConfig(
+            max_keyframes=32, max_map_points=2048, max_obs_per_point=16,
+            local_ba_window=8, local_ba_points=512,
+        ),
+    )
+
+
+def run_sequence(seq, cfg=None, **kwargs):
+    cfg = cfg or small_config()
+    cam = Camera.create(300.0, 300.0, 159.5, 119.5, width=W, height=H)
+    sys_ = System(cfg, cam, **kwargs)
+    states = []
+    for f in seq.frames:
+        out = sys_.track_monocular(f.image, f.timestamp)
+        states.append(out)
+    return sys_, states
+
+
+@pytest.fixture(scope="module")
+def orbit_run():
+    seq = make_synthetic_sequence(n_frames=24, h=H, w=W, seed=11, motion="orbit", K=K)
+    sys_, states = run_sequence(seq)
+    return seq, sys_, states
+
+
+class TestMonocularPipeline:
+    def test_initializes_and_tracks(self, orbit_run):
+        seq, sys_, states = orbit_run
+        ok_frames = [s for s in states if s.state == "OK"]
+        assert len(ok_frames) > 15, [s.state for s in states]
+        # no tracking loss after initialization
+        init_idx = next(i for i, s in enumerate(states) if s.state == "OK")
+        assert all(s.state == "OK" for s in states[init_idx:])
+
+    def test_builds_map(self, orbit_run):
+        seq, sys_, states = orbit_run
+        assert sys_.n_keyframes() >= 2
+        assert sys_.n_map_points() > 100
+
+    def test_trajectory_accuracy(self, orbit_run):
+        seq, sys_, states = orbit_run
+        ts, Twc = sys_.tracker.trajectory_Twc()
+        gt = seq.gt_Twc[-len(Twc):]
+        err = ate_rmse(Twc, gt)
+        # trajectory spans ~0.7m; demand <8% relative ATE for the small map
+        assert err < 0.06, f"ATE {err}"
+
+    def test_trajectory_export(self, orbit_run, tmp_path):
+        seq, sys_, states = orbit_run
+        p = tmp_path / "traj.txt"
+        sys_.save_trajectory_tum(str(p))
+        lines = [l for l in open(p) if l.strip()]
+        assert len(lines) == len(sys_.tracker.trajectory)
+        assert len(lines[0].split()) == 8
+        pk = tmp_path / "kitti.txt"
+        sys_.save_trajectory_kitti(str(pk))
+        assert np.loadtxt(pk).shape[1] == 12
+        kf = tmp_path / "kf.txt"
+        sys_.save_keyframe_trajectory_tum(str(kf))
+        assert len(open(kf).readlines()) == sys_.n_keyframes()
+
+    def test_poses_stay_orthonormal(self, orbit_run):
+        seq, sys_, states = orbit_run
+        m = sys_.map
+        kv = np.asarray(m.kf_valid)
+        for k in np.nonzero(kv)[0]:
+            R = np.asarray(m.kf_pose[int(k)])[:3, :3]
+            assert abs(np.linalg.det(R) - 1.0) < 1e-3
+
+    def test_reset(self, orbit_run):
+        seq, sys_, states = orbit_run
+        sys_.reset()
+        assert sys_.n_keyframes() == 0
+        assert sys_.tracker.state == "NO_IMAGES_YET"
+
+
+class TestStrafeSequence:
+    def test_strafe_tracks(self):
+        seq = make_synthetic_sequence(
+            n_frames=16, h=H, w=W, seed=3, motion="strafe", K=K
+        )
+        sys_, states = run_sequence(seq)
+        ok = [s for s in states if s.state == "OK"]
+        assert len(ok) > 8
+        ts, Twc = sys_.tracker.trajectory_Twc()
+        gt = seq.gt_Twc[-len(Twc):]
+        assert ate_rmse(Twc, gt) < 0.06
+
+
+class TestLocalizationMode:
+    def test_localization_only_adds_no_keyframes(self):
+        seq = make_synthetic_sequence(n_frames=16, h=H, w=W, seed=11, motion="orbit", K=K)
+        cam = Camera.create(300.0, 300.0, 159.5, 119.5, width=W, height=H)
+        sys_ = System(small_config(), cam)
+        for f in seq.frames[:10]:
+            sys_.track_monocular(f.image, f.timestamp)
+        n_kf = sys_.n_keyframes()
+        sys_.activate_localization_mode()
+        for f in seq.frames[10:]:
+            out = sys_.track_monocular(f.image, f.timestamp)
+        assert sys_.n_keyframes() == n_kf

@@ -91,7 +91,8 @@ def _solve_f(uv1: jnp.ndarray, uv2: jnp.ndarray) -> jnp.ndarray:
 
 
 def _score_h(
-    H21: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray
+    H21: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric transfer error scoring (Initializer.cc:314-397)."""
     H12 = jnp.linalg.inv(H21)
@@ -103,7 +104,6 @@ def _score_h(
         proj = p[:, :2] / w[:, None]
         return jnp.sum((proj - b) ** 2, axis=1)
 
-    inv_sigma2 = 1.0 / (SIGMA * SIGMA)
     chi2_1 = transfer(H12, uv2, uv1) * inv_sigma2
     chi2_2 = transfer(H21, uv1, uv2) * inv_sigma2
     ok1 = chi2_1 < TH_H
@@ -115,7 +115,8 @@ def _score_h(
 
 
 def _score_f(
-    F21: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray
+    F21: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Point-to-epipolar-line chi2 scoring (Initializer.cc:399-477)."""
 
@@ -127,7 +128,6 @@ def _score_f(
         den = l[:, 0] ** 2 + l[:, 1] ** 2
         return num * num / jnp.maximum(den, 1e-12)
 
-    inv_sigma2 = 1.0 / (SIGMA * SIGMA)
     chi2_1 = line_dist2(F21, uv1, uv2) * inv_sigma2          # l2 = F21 x1
     chi2_2 = line_dist2(F21.T, uv2, uv1) * inv_sigma2        # l1 = F21^T x2
     ok1 = chi2_1 < TH_F
@@ -145,6 +145,7 @@ def _check_rt(
     uv2: jnp.ndarray,
     valid: jnp.ndarray,
     K: jnp.ndarray,
+    sigma2: jnp.ndarray | float = 1.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Cheirality + reprojection + parallax check for one (R, t) hypothesis
     (Initializer.cc:807-916). Returns (n_good, parallax_deg, points, good)."""
@@ -177,7 +178,7 @@ def _check_rt(
     err1 = reproj_err2(X, uv1)
     X2 = se3.apply(T2, X)
     err2 = reproj_err2(X2, uv2)
-    th2 = CHECK_RT_TH2 * SIGMA * SIGMA
+    th2 = CHECK_RT_TH2 * sigma2
     good = (
         valid & finite & cheirality & (err1 < th2) & (err2 < th2)
         & (z1 > 0) & (z2 > 0)
@@ -294,11 +295,12 @@ def _select_hypothesis(
     K: jnp.ndarray,
     n_inliers: jnp.ndarray,
     second_best_factor: float,
+    sigma2: jnp.ndarray,
 ) -> InitResult:
     """Run CheckRT on every hypothesis and apply the reference's acceptance
     gates (clear winner, parallax, minimum good count)."""
     n_goods, parallaxes, Xs, goods = jax.vmap(
-        lambda R, t: _check_rt(R, t, uv1, uv2, valid, K)
+        lambda R, t: _check_rt(R, t, uv1, uv2, valid, K, sigma2)
     )(Rs, ts)
 
     best = jnp.argmax(n_goods)
@@ -331,6 +333,7 @@ def initialize_two_view(
     valid: jnp.ndarray,
     K: jnp.ndarray,
     key: jnp.ndarray,
+    sigma2: jnp.ndarray | None = None,
 ) -> InitResult:
     """Full two-view bootstrap from matched rectified pixels.
 
@@ -338,8 +341,15 @@ def initialize_two_view(
     key: jax PRNG key (replaces DUtils::Random::SeedRandOnce(0),
     Initializer.cc:89 — fixed keys give the determinism the reference fakes
     with a global seed).
+    sigma2: (M,) optional per-match noise scale (the octave sigma^2 of the
+    coarser of the two keypoints). The reference hardcodes sigma=1 because
+    it matches at octave 0 only; our initializer matches across octaves, so
+    gates must scale with keypoint quantization error.
     """
     M = uv1.shape[0]
+    if sigma2 is None:
+        sigma2 = jnp.ones(M, dtype=uv1.dtype)
+    inv_sigma2 = 1.0 / sigma2
     n_valid = valid.sum()
 
     # --- sample N_RANSAC 8-subsets of valid matches -----------------------
@@ -362,8 +372,8 @@ def initialize_two_view(
     H21s = jax.vmap(lambda Hn_: T2inv @ Hn_ @ T1)(Hn)
     F21s = jax.vmap(lambda Fn_: T2.T @ Fn_ @ T1)(Fn)
 
-    h_scores, h_masks = jax.vmap(lambda H: _score_h(H, uv1, uv2, valid))(H21s)
-    f_scores, f_masks = jax.vmap(lambda F: _score_f(F, uv1, uv2, valid))(F21s)
+    h_scores, h_masks = jax.vmap(lambda H: _score_h(H, uv1, uv2, valid, inv_sigma2))(H21s)
+    f_scores, f_masks = jax.vmap(lambda F: _score_f(F, uv1, uv2, valid, inv_sigma2))(F21s)
 
     bh = jnp.argmax(h_scores)
     bf = jnp.argmax(f_scores)
@@ -381,13 +391,13 @@ def initialize_two_view(
     A = jnp.linalg.inv(K) @ H21 @ K
     Rs_h, ts_h = _decompose_h(A)
     res_h = _select_hypothesis(
-        Rs_h, ts_h, uv1, uv2, h_inliers, K, h_inliers.sum(), 0.75
+        Rs_h, ts_h, uv1, uv2, h_inliers, K, h_inliers.sum(), 0.75, sigma2
     )
 
     E = K.T @ F21 @ K
     Rs_f, ts_f = _decompose_e(E)
     res_f = _select_hypothesis(
-        Rs_f, ts_f, uv1, uv2, f_inliers, K, f_inliers.sum(), 0.7
+        Rs_f, ts_f, uv1, uv2, f_inliers, K, f_inliers.sum(), 0.7, sigma2
     )
 
     pick = lambda a, b: jnp.where(use_h, a, b)

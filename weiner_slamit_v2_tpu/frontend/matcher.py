@@ -151,18 +151,19 @@ def search_for_initialization(
     """Wide-window mutual-best matching for the monocular initializer.
 
     Mirrors SearchForInitialization (jni/ORB_SLAM2/src/ORBmatcher.cc:409-524):
-    window search around the level-0 keypoints of frame 1, TH_LOW gate,
-    ratio test, mutual best, rotation-histogram filter.
+    window search around frame-1 keypoints, TH_LOW gate, ratio test, mutual
+    best, rotation-histogram filter.
+
+    Deviation from the reference: all octaves participate (the reference
+    restricts to level 0 — ORBmatcher.cc:439 — but compensates with a 2x
+    feature budget during initialization, Tracking.cc:162; with our fixed
+    per-frame budget the multi-level pool provides the same match count).
     """
-    # reference restricts to octave 0 for initialization (GetFeaturesInArea
-    # called with levels [0,0] at ORBmatcher.cc:439)
-    lvl0_1 = feats1.octave == 0
-    lvl0_2 = feats2.octave == 0
     return match_with_window(
         feats1.desc,
         feats2.desc,
-        feats1.valid & lvl0_1,
-        feats2.valid & lvl0_2,
+        feats1.valid,
+        feats2.valid,
         pred_xy=feats1.xy_und,
         xy2=feats2.xy_und,
         window=window,

@@ -61,8 +61,10 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     # ||vee|| = 2 sin(theta); atan2 is well-conditioned for all theta < pi
-    # (unlike arccos, whose derivative blows up near 0 and pi).
-    sin_theta = 0.5 * jnp.linalg.norm(vee, axis=-1)
+    # (unlike arccos, whose derivative blows up near 0 and pi). The epsilon
+    # inside the sqrt keeps the gradient finite at exactly-identity rotations
+    # (pose-graph residuals start there and are differentiated by jacfwd).
+    sin_theta = 0.5 * jnp.sqrt(jnp.sum(vee * vee, axis=-1) + _EPS * _EPS)
     theta = jnp.arctan2(sin_theta, cos_theta)
     # theta / (2 sin theta), with series fallback near 0.
     scale = jnp.where(
@@ -155,6 +157,21 @@ def retract(T: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
     (jni/ORB_SLAM2/src/Optimizer.cc:239-451).
     """
     return exp(xi) @ T
+
+
+def orthonormalize(T: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
+    """Project the rotation block back onto SO(3) (batched).
+
+    Newton–Schulz iteration R <- R (3I - R^T R) / 2, valid for small
+    orthonormality defects. Needed because the per-frame velocity feedback
+    ``v = T_k T_{k-1}^-1`` with a transpose-based inverse *doubles* any
+    defect every frame — fp32 drift compounds exponentially without this.
+    """
+    R = T[..., :3, :3]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), R.shape)
+    for _ in range(iters):
+        R = 0.5 * R @ (3.0 * eye - jnp.swapaxes(R, -1, -2) @ R)
+    return from_rt(R, T[..., :3, 3])
 
 
 def quat_from_rot(R: jnp.ndarray) -> jnp.ndarray:

@@ -41,6 +41,13 @@ class Sequence:
 
 
 def _load_gray(path: str) -> np.ndarray:
+    # native C++ PNG/PGM decoder first (weiner_slamit_v2_tpu/native/),
+    # PIL as fallback for formats it does not cover (JPEG etc.)
+    from ..native import load_image_gray_native
+
+    img = load_image_gray_native(path)
+    if img is not None:
+        return img
     from PIL import Image
 
     img = Image.open(path).convert("L")

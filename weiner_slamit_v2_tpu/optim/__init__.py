@@ -1,1 +1,1 @@
-from . import pose_opt  # noqa: F401
+from . import ba_extract, local_ba, pnp, pose_graph, pose_opt, sim3_solver  # noqa: F401

@@ -107,7 +107,11 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     A32 = b * g - a * h
     A33 = a * e - b * d
     det = a * A11 + b * A21 + c * A31
-    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    # relative clamp: near-singular blocks (low-parallax depth directions)
+    # must not overflow f32 in adj/det
+    scale = jnp.maximum(jnp.abs(a) + jnp.abs(e) + jnp.abs(i), 1e-12)
+    det_min = 1e-7 * scale * scale * scale
+    det = jnp.where(jnp.abs(det) < det_min, jnp.sign(det + 1e-30) * det_min, det)
     adj = jnp.stack(
         [
             jnp.stack([A11, A12, A13], axis=-1),
@@ -261,10 +265,19 @@ def solve_ba(
 
             c0, _, _ = _total_cost(cam_pose, points, prob.K, prob, active_obs, robust)
             c1, _, _ = _total_cost(new_pose, new_pts, prob.K, prob, active_obs, robust)
-            accept = c1 < c0
+            # a NaN/Inf state must never be accepted (a NaN cost masks to 0
+            # through the validity gates, which would look like a decrease)
+            finite = (
+                jnp.isfinite(c1)
+                & jnp.all(jnp.isfinite(dc))
+                & jnp.all(jnp.isfinite(dp))
+            )
+            accept = (c1 < c0) & finite
             cam_pose = jnp.where(accept, new_pose, cam_pose)
             points = jnp.where(accept, new_pts, points)
-            lam = jnp.where(accept, lam * 0.5, lam * 8.0)
+            # floor the damping: monocular BA has gauge/low-parallax null
+            # directions; letting lam -> 0 sends points sliding to infinity
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 8.0), 1e-5, 1e3)
             return cam_pose, points, lam
 
         cam_pose, points, _ = jax.lax.fori_loop(
@@ -284,6 +297,7 @@ def solve_ba(
         cam_pose, points, inlier, jnp.asarray(False), iters2, lambda_init
     )
 
+    cam_pose = jax.vmap(se3.orthonormalize)(cam_pose)
     final_cost, chi2, z = _total_cost(
         cam_pose, points, prob.K, prob, inlier, jnp.asarray(False)
     )

@@ -130,9 +130,10 @@ def optimize_pose(
             )
             cost1 = jnp.sum(jnp.where(inliers & (z_new > 0), rho_new, 0.0))
 
-            accept = cost1 < cost0
+            finite = jnp.isfinite(cost1) & jnp.all(jnp.isfinite(dx))
+            accept = (cost1 < cost0) & finite
             Tcw = jnp.where(accept, T_new, Tcw)
-            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-6, 1e3)
             return Tcw, lam
 
         Tcw, _ = jax.lax.fori_loop(0, n_iters, lm_step, (Tcw, lambda_init))
@@ -149,4 +150,4 @@ def optimize_pose(
         robust = jnp.asarray(rnd < 2)
         (Tcw, cur_inliers), _ = round_body((Tcw, cur_inliers), robust)
 
-    return Tcw, cur_inliers, cur_inliers.sum()
+    return se3.orthonormalize(Tcw), cur_inliers, cur_inliers.sum()

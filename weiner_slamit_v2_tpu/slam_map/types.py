@@ -170,19 +170,13 @@ def _add_observations_for_kf(m: SlamMap, kf_id, obs: jnp.ndarray) -> SlamMap:
     has = obs >= 0
     mp = jnp.where(has, obs, 0)
     slot = jnp.where(has, m.mp_n_obs[mp], m.max_obs)  # full lists drop extras
-    in_cap = slot < m.max_obs
-    w = has & in_cap
-    mp_w = jnp.where(w, mp, m.max_mp - 1)     # harmless sink for dropped writes
-    slot_w = jnp.where(w, slot, m.max_obs - 1)
-    obs_kf = m.mp_obs_kf.at[mp_w, slot_w].set(
-        jnp.where(w, kf_id, m.mp_obs_kf[mp_w, slot_w])
-    )
-    obs_feat = m.mp_obs_feat.at[mp_w, slot_w].set(
-        jnp.where(w, feat_idx, m.mp_obs_feat[mp_w, slot_w])
-    )
-    n_obs = m.mp_n_obs.at[jnp.where(w, mp, m.max_mp - 1)].add(
-        jnp.where(w, 1, 0)
-    )
+    w = has & (slot < m.max_obs)
+    # dropped writes go out of bounds with mode="drop"
+    mp_w = jnp.where(w, mp, m.max_mp)
+    slot_w = jnp.where(w, slot, m.max_obs)
+    obs_kf = m.mp_obs_kf.at[mp_w, slot_w].set(kf_id, mode="drop")
+    obs_feat = m.mp_obs_feat.at[mp_w, slot_w].set(feat_idx, mode="drop")
+    n_obs = m.mp_n_obs.at[mp_w].add(1, mode="drop")
     return m.replace(mp_obs_kf=obs_kf, mp_obs_feat=obs_feat, mp_n_obs=n_obs)
 
 
@@ -214,10 +208,10 @@ def add_map_points(
     offset = jnp.cumsum(valid.astype(jnp.int32)) - 1
     ids = m.n_mp + offset
     fits = valid & (ids < m.max_mp)
-    idw = jnp.where(fits, ids, m.max_mp - 1)
+    idw = jnp.where(fits, ids, m.max_mp)  # OOB + mode="drop" for skipped rows
 
     def scatter(arr, vals):
-        return arr.at[idw].set(jnp.where(fits.reshape((-1,) + (1,) * (vals.ndim - 1)), vals, arr[idw]))
+        return arr.at[idw].set(vals, mode="drop")
 
     m2 = m.replace(
         mp_pos=scatter(m.mp_pos, pos),
@@ -226,26 +220,22 @@ def add_map_points(
         mp_min_dist=scatter(m.mp_min_dist, min_dist),
         mp_max_dist=scatter(m.mp_max_dist, max_dist),
         mp_first_kf=scatter(m.mp_first_kf, kf1),
-        mp_valid=m.mp_valid.at[idw].set(jnp.where(fits, True, m.mp_valid[idw])),
+        mp_valid=m.mp_valid.at[idw].set(True, mode="drop"),
         mp_visible=scatter(m.mp_visible, jnp.ones(B, jnp.int32)),
         mp_found=scatter(m.mp_found, jnp.ones(B, jnp.int32)),
+        mp_n_obs=m.mp_n_obs.at[idw].set(0, mode="drop"),
         n_mp=m.n_mp + fits.sum(dtype=jnp.int32),
     )
 
     # observations: (kf1, feat1) and (kf2, feat2)
     def put_obs(mm, kfs, feats, slot_idx):
         has = fits & (kfs >= 0)
-        idx = jnp.where(has, idw, m.max_mp - 1)
-        obs_kf = mm.mp_obs_kf.at[idx, slot_idx].set(
-            jnp.where(has, kfs, mm.mp_obs_kf[idx, slot_idx])
-        )
-        obs_feat = mm.mp_obs_feat.at[idx, slot_idx].set(
-            jnp.where(has, feats, mm.mp_obs_feat[idx, slot_idx])
-        )
-        n_obs = mm.mp_n_obs.at[idx].add(jnp.where(has, 1, 0))
-        kf_obs = mm.kf_obs.at[jnp.where(has, kfs, 0), jnp.where(has, feats, 0)].set(
-            jnp.where(has, idw, mm.kf_obs[jnp.where(has, kfs, 0), jnp.where(has, feats, 0)])
-        )
+        idx = jnp.where(has, idw, m.max_mp)
+        obs_kf = mm.mp_obs_kf.at[idx, slot_idx].set(kfs, mode="drop")
+        obs_feat = mm.mp_obs_feat.at[idx, slot_idx].set(feats, mode="drop")
+        n_obs = mm.mp_n_obs.at[idx].add(1, mode="drop")
+        kf_w = jnp.where(has, kfs, mm.max_kf)
+        kf_obs = mm.kf_obs.at[kf_w, feats].set(idw, mode="drop")
         return mm.replace(
             mp_obs_kf=obs_kf, mp_obs_feat=obs_feat, mp_n_obs=n_obs, kf_obs=kf_obs
         )
@@ -270,6 +260,43 @@ def observation_indicator(m: SlamMap) -> jnp.ndarray:
     has = (flat_mp >= 0) & m.kf_feat_valid.reshape(-1)
     ind = jnp.zeros((K, M), bool)
     return ind.at[flat_kf, jnp.where(has, flat_mp, 0)].max(has)
+
+
+def rebuild_observation_lists(m: SlamMap) -> SlamMap:
+    """Reconstruct mp_obs_kf/mp_obs_feat/mp_n_obs from kf_obs (the ground
+    truth relation). Used after observation deletions (BA outlier removal,
+    point culling) — the array analogue of MapPoint::EraseObservation
+    bookkeeping (src/MapPoint.cc:104-143), done as one sort instead of
+    per-object list surgery.
+    """
+    K, N = m.kf_obs.shape
+    Mx = m.max_mp
+    O = m.max_obs
+    flat_mp = m.kf_obs.reshape(-1)
+    has = (flat_mp >= 0) & m.kf_feat_valid.reshape(-1) & jnp.repeat(m.kf_valid, N)
+    sort_key = jnp.where(has, flat_mp, Mx)  # invalid entries last
+    order = jnp.argsort(sort_key, stable=True)
+    sorted_mp = sort_key[order]
+    flat_kf = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)[order]
+    flat_ft = jnp.tile(jnp.arange(N, dtype=jnp.int32), K)[order]
+    # rank of each entry within its mp group
+    first_pos = jnp.searchsorted(sorted_mp, jnp.arange(Mx), side="left")
+    pos = jnp.arange(K * N)
+    rank = pos - first_pos[jnp.clip(sorted_mp, 0, Mx - 1)]
+    ok = (sorted_mp < Mx) & (rank < O)
+    # dropped writes use an out-of-bounds index + mode="drop" (no sink cell)
+    mp_w = jnp.where(ok, sorted_mp, Mx)
+    rk_w = jnp.where(ok, rank, O)
+    obs_kf = jnp.full((Mx, O), -1, jnp.int32).at[mp_w, rk_w].set(
+        flat_kf, mode="drop"
+    )
+    obs_feat = jnp.full((Mx, O), -1, jnp.int32).at[mp_w, rk_w].set(
+        flat_ft, mode="drop"
+    )
+    counts = jnp.zeros(Mx, jnp.int32).at[mp_w].add(1, mode="drop")
+    return m.replace(
+        mp_obs_kf=obs_kf, mp_obs_feat=obs_feat, mp_n_obs=counts
+    )
 
 
 def recount_observations(m: SlamMap) -> jnp.ndarray:

@@ -1,0 +1,306 @@
+"""Local mapping: triangulate new points, cull, fuse, local BA.
+
+TPU-native replacement for the ``LocalMapping`` thread
+(jni/ORB_SLAM2/src/LocalMapping.cc). The reference runs an infinite polling
+loop with per-keyframe scalar work; here each responsibility is a batched
+array pass over the map, invoked synchronously per new keyframe by the
+pipeline (tracking/system.py) — deterministic by construction, no stop/finish
+flag protocol needed (SURVEY.md §5 "race detection").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..frontend import matcher
+from ..geometry import epipolar, se3, triangulate
+from ..ops import hamming
+from ..slam_map import types as mt
+from ..slam_map.covisibility import covisibility_matrix
+from ..slam_map.point_stats import refresh_point_stats
+from ..slam_map.types import SlamMap
+
+
+def _median_depth_of_kf(m: SlamMap, kf_id) -> jnp.ndarray:
+    """Median depth of the map points a keyframe observes
+    (KeyFrame::ComputeSceneMedianDepth, src/KeyFrame.cc:641-671)."""
+    obs = m.kf_obs[kf_id]
+    has = (obs >= 0) & m.kf_feat_valid[kf_id]
+    pts = m.mp_pos[jnp.maximum(obs, 0)]
+    z = triangulate.depth_in_view(m.kf_pose[kf_id], pts)
+    z_masked = jnp.where(has & (z > 0), z, jnp.nan)
+    med = jnp.nanmedian(z_masked)
+    return jnp.where(jnp.isnan(med), 1.0, med)
+
+
+def triangulate_with_neighbor(
+    m: SlamMap,
+    kf1,
+    kf2,
+    K: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    cfg: SlamConfig,
+) -> SlamMap:
+    """Create new map points between keyframes kf1 (current) and kf2
+    (covisible neighbor): epipolar-gated matching of yet-unmatched features,
+    DLT triangulation, and the reference's acceptance gates
+    (LocalMapping::CreateNewMapPoints, src/LocalMapping.cc:221-505).
+    """
+    T1 = m.kf_pose[kf1]
+    T2 = m.kf_pose[kf2]
+    C1 = triangulate.camera_center(T1)
+    C2 = triangulate.camera_center(T2)
+    baseline = jnp.linalg.norm(C2 - C1)
+    med_depth = _median_depth_of_kf(m, kf2)
+    pair_ok = (baseline / jnp.maximum(med_depth, 1e-9)) > cfg.mapping.min_baseline_depth_ratio
+
+    # --- epipolar-constrained matching of unmatched features --------------
+    un1 = m.kf_feat_valid[kf1] & (m.kf_obs[kf1] < 0)
+    un2 = m.kf_feat_valid[kf2] & (m.kf_obs[kf2] < 0)
+    xy1 = m.kf_xy[kf1]
+    xy2 = m.kf_xy[kf2]
+    F12 = epipolar.fundamental_from_poses(T1, T2, K, K)
+    # all-pairs epipolar distance: line in image 1 from each kp2, distance of
+    # each kp1 from it (CheckDistEpipolarLine, ORBmatcher.cc:142-159)
+    n = xy1.shape[0]
+    x2h = jnp.concatenate([xy2, jnp.ones((n, 1))], axis=1)
+    lines = x2h @ F12.T                                  # (N2, 3)
+    num = xy1 @ lines[:, :2].T + lines[None, :, 2]       # (N1, N2)
+    den = jnp.maximum(lines[:, 0] ** 2 + lines[:, 1] ** 2, 1e-12)
+    d2 = num * num / den[None, :]
+    oct2 = m.kf_octave[kf2]
+    epi_ok = d2 < 3.84 * sigma2[jnp.clip(oct2, 0, sigma2.shape[0] - 1)][None, :]
+    # epipole proximity rejection: dist^2 > 100 * scale^2 (ORBmatcher.cc:749)
+    e12 = _project_point(K, T2, C1)  # epipole of cam1 in image 2
+    dist_e = jnp.sum((xy2 - e12) ** 2, axis=1)
+    far_from_epipole = dist_e > 100.0 * sigma2[jnp.clip(oct2, 0, sigma2.shape[0] - 1)]
+    pair_mask = epi_ok & far_from_epipole[None, :]
+
+    dist = hamming.masked_distance_matrix(
+        m.kf_desc[kf1], m.kf_desc[kf2], un1, un2, pair_mask
+    )
+    idx, best, second = hamming.best_and_second(dist)
+    ok = (best <= matcher.TH_LOW) & (
+        best.astype(jnp.float32)
+        < cfg.matcher.nn_ratio_triangulation
+        * jnp.where(second < hamming.INVALID_DIST, second, hamming.INVALID_DIST).astype(jnp.float32)
+    )
+    ok = ok & matcher._column_unique_best(idx, best, ok, n)
+
+    # --- triangulate + gates ---------------------------------------------
+    uv1 = xy1
+    uv2m = xy2[jnp.maximum(idx, 0)]
+    P1 = triangulate._projection_matrix(K, T1)
+    P2 = triangulate._projection_matrix(K, T2)
+    X = triangulate.triangulate_dlt(uv1, uv2m, P1, P2)
+    finite = jnp.all(jnp.isfinite(X), axis=1)
+
+    cosp = triangulate.parallax_cos(C1, C2, X)
+    z1 = triangulate.depth_in_view(T1, X)
+    z2 = triangulate.depth_in_view(T2, X)
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    def reproj2(T, uv):
+        Pc = se3.apply(T, X)
+        zs = jnp.where(jnp.abs(Pc[:, 2]) < 1e-9, 1e-9, Pc[:, 2])
+        u = fx * Pc[:, 0] / zs + cx
+        v = fy * Pc[:, 1] / zs + cy
+        return (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+
+    oct1 = m.kf_octave[kf1]
+    s2_1 = sigma2[jnp.clip(oct1, 0, sigma2.shape[0] - 1)]
+    s2_2 = sigma2[jnp.clip(m.kf_octave[kf2][jnp.maximum(idx, 0)], 0, sigma2.shape[0] - 1)]
+    err1_ok = reproj2(T1, uv1) < cfg.mapping.chi2_mono * s2_1
+    err2_ok = reproj2(T2, uv2m) < cfg.mapping.chi2_mono * s2_2
+
+    # scale consistency (LocalMapping.cc:465-483)
+    d1 = jnp.linalg.norm(X - C1, axis=1)
+    d2n = jnp.linalg.norm(X - C2, axis=1)
+    ratio_dist = d2n / jnp.maximum(d1, 1e-9)
+    sf1 = scale_factors[jnp.clip(oct1, 0, sigma2.shape[0] - 1)]
+    sf2 = scale_factors[jnp.clip(m.kf_octave[kf2][jnp.maximum(idx, 0)], 0, sigma2.shape[0] - 1)]
+    ratio_octave = sf1 / sf2
+    ratio_factor = 1.5 * float(cfg.orb.scale_factor)
+    scale_ok = (ratio_dist * ratio_factor > ratio_octave) & (
+        ratio_dist < ratio_octave * ratio_factor
+    )
+
+    good = (
+        ok & pair_ok & finite & (cosp < 0.9998) & (cosp > 0)
+        & (z1 > 0) & (z2 > 0) & err1_ok & err2_ok & scale_ok
+    )
+
+    # --- insert ----------------------------------------------------------
+    normal = (X - C1) / jnp.maximum(jnp.linalg.norm(X - C1, axis=1, keepdims=True), 1e-9)
+    L = scale_factors.shape[0]
+    max_dist = d1 * sf1
+    min_dist = max_dist / scale_factors[L - 1]
+    m2, _ = mt.add_map_points(
+        m,
+        pos=X,
+        desc=m.kf_desc[kf1],
+        normal=normal,
+        min_dist=min_dist,
+        max_dist=max_dist,
+        kf1=jnp.full(n, kf1, jnp.int32),
+        feat1=jnp.arange(n, dtype=jnp.int32),
+        kf2=jnp.full(n, kf2, jnp.int32),
+        feat2=jnp.maximum(idx, 0),
+        valid=good,
+    )
+    return m2
+
+
+def _project_point(K, Tcw, Xw):
+    Pc = se3.apply(Tcw, Xw)
+    z = jnp.where(jnp.abs(Pc[..., 2]) < 1e-9, 1e-9, Pc[..., 2])
+    u = K[0, 0] * Pc[..., 0] / z + K[0, 2]
+    v = K[1, 1] * Pc[..., 1] / z + K[1, 2]
+    return jnp.stack([u, v], axis=-1)
+
+
+def cull_map_points(m: SlamMap, current_kf, cfg: SlamConfig) -> SlamMap:
+    """Invalidate weak recent points (LocalMapping::MapPointCulling,
+    src/LocalMapping.cc:184-219): found-ratio < 0.25, or <= 2 observations
+    within 2 keyframes of creation; points older than 3 keyframes graduate.
+    """
+    age = current_kf - m.mp_first_kf
+    found_ratio = m.mp_found.astype(jnp.float32) / jnp.maximum(
+        m.mp_visible.astype(jnp.float32), 1.0
+    )
+    bad = (found_ratio < cfg.mapping.culling_found_ratio) & (age <= 3)
+    bad = bad | ((age >= 2) & (age <= 3) & (m.mp_n_obs <= 2))
+    bad = bad & m.mp_valid
+    return invalidate_points(m, bad)
+
+
+def invalidate_points(m: SlamMap, bad: jnp.ndarray) -> SlamMap:
+    """Remove points: clear their kf_obs references and observation lists
+    (MapPoint::SetBadFlag, src/MapPoint.cc:157-181)."""
+    mp_valid = m.mp_valid & ~bad
+    refd = m.kf_obs >= 0
+    still = mp_valid[jnp.maximum(m.kf_obs, 0)]
+    kf_obs = jnp.where(refd & ~still, -1, m.kf_obs)
+    m = m.replace(mp_valid=mp_valid, kf_obs=kf_obs)
+    return mt.rebuild_observation_lists(m)
+
+
+def cull_keyframes(m: SlamMap, center_kf, cfg: SlamConfig) -> SlamMap:
+    """Cull redundant covisible keyframes of `center_kf`: >= 90% of their
+    points are seen by >= 3 other keyframes at the same or finer scale
+    (LocalMapping::KeyFrameCulling, src/LocalMapping.cc:686-752).
+    The first keyframe (id 0) is never culled.
+    """
+    K_, N = m.kf_obs.shape
+    # per-observation octaves of every point, from the obs lists
+    kf = jnp.maximum(m.mp_obs_kf, 0)
+    ft = jnp.maximum(m.mp_obs_feat, 0)
+    obs_ok = (m.mp_obs_kf >= 0) & (
+        jnp.arange(m.max_obs)[None, :] < m.mp_n_obs[:, None]
+    ) & (m.kf_obs[kf, ft] == jnp.arange(m.max_mp)[:, None])
+    obs_oct = jnp.where(obs_ok, m.kf_octave[kf, ft], 127)  # (M, O)
+
+    W = covisibility_matrix(m)
+    covis = W[center_kf] > 0
+
+    def redundancy_of_kf(k):
+        obs = m.kf_obs[k]
+        has = (obs >= 0) & m.kf_feat_valid[k] & m.mp_valid[jnp.maximum(obs, 0)]
+        mp = jnp.maximum(obs, 0)
+        my_oct = m.kf_octave[k]
+        # for each of this KF's points: count other KFs observing at
+        # scale <= my_oct + 1
+        oct_p = obs_oct[mp]                     # (N, O)
+        other = m.mp_obs_kf[mp] != k            # (N, O)
+        fine = oct_p <= (my_oct[:, None] + 1)
+        n_better = jnp.sum(other & fine & (oct_p < 127), axis=1)
+        redundant = has & (n_better >= cfg.mapping.kf_culling_min_obs)
+        n_pts = jnp.maximum(has.sum(), 1)
+        return redundant.sum() / n_pts, has.sum()
+
+    ratios, counts = jax.vmap(redundancy_of_kf)(jnp.arange(K_))
+    cullable = (
+        m.kf_valid
+        & covis
+        & (jnp.arange(K_) != 0)
+        & (jnp.arange(K_) != center_kf)
+        & (ratios > cfg.mapping.kf_culling_redundancy)
+        & (counts > 0)
+    )
+    # cull at most one keyframe per pass (the reference culls greedily while
+    # iterating; one-at-a-time keeps covisibility consistent)
+    first = jnp.argmax(cullable)
+    do_cull = cullable[first]
+    return invalidate_keyframe(m, jnp.where(do_cull, first, -1))
+
+
+def invalidate_keyframe(m: SlamMap, kf_id) -> SlamMap:
+    """Remove a keyframe (KeyFrame::SetBadFlag, src/KeyFrame.cc:460-552).
+    kf_id = -1 is a no-op. Children re-parent to this keyframe's parent
+    (simplified from the reference's max-covis re-parenting)."""
+    do = kf_id >= 0
+    k = jnp.maximum(kf_id, 0)
+    kf_valid = m.kf_valid.at[k].set(jnp.where(do, False, m.kf_valid[k]))
+    parent = m.kf_parent[k]
+    new_parent = jnp.where(m.kf_parent == k, parent, m.kf_parent)
+    kf_obs = m.kf_obs.at[k].set(
+        jnp.where(do, jnp.full((m.n_feat,), -1, jnp.int32), m.kf_obs[k])
+    )
+    m = m.replace(
+        kf_valid=kf_valid,
+        kf_parent=jnp.where(do, new_parent, m.kf_parent),
+        kf_obs=kf_obs,
+    )
+    return mt.rebuild_observation_lists(m)
+
+
+def mapping_step(
+    m: SlamMap,
+    new_kf,
+    K: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    cfg: SlamConfig,
+    n_neighbors: int = 4,
+    run_ba: bool = True,
+    run_culling: bool = True,
+) -> SlamMap:
+    """One full local-mapping pass for a freshly inserted keyframe
+    (the body of LocalMapping::Run, src/LocalMapping.cc:50-118):
+    point culling -> triangulation with top covisible neighbors ->
+    statistics refresh -> local BA -> keyframe culling."""
+    from ..optim.ba_extract import extract_local_ba, write_back_ba
+    from ..optim.local_ba import solve_ba
+
+    if run_culling:
+        m = cull_map_points(m, new_kf, cfg)
+
+    W = covisibility_matrix(m)
+    vals, idx = jax.lax.top_k(W[new_kf], n_neighbors)
+    for i in range(n_neighbors):
+        neigh_ok = vals[i] > 0
+        neigh = jnp.where(neigh_ok, idx[i], new_kf)  # self-pair yields nothing
+        m = triangulate_with_neighbor(m, new_kf, neigh, K, scale_factors, sigma2, cfg)
+
+    m = refresh_point_stats(m, scale_factors)
+
+    if run_ba:
+        prob, cam_ids, point_ids = extract_local_ba(
+            m, new_kf, K, inv_sigma2,
+            window=cfg.capacity.local_ba_window,
+            n_fixed=cfg.capacity.local_ba_window,
+            max_points=cfg.capacity.local_ba_points,
+        )
+        res = solve_ba(prob, cfg.optim.local_ba_iters1, cfg.optim.local_ba_iters2)
+        m = write_back_ba(m, res, prob, cam_ids, point_ids)
+
+    if run_culling:
+        m = cull_keyframes(m, new_kf, cfg)
+    return m

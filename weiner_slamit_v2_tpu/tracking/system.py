@@ -1,0 +1,120 @@
+"""System facade: the public entry point of the SLAM engine.
+
+TPU-native replacement for ``ORB_SLAM2::System``
+(jni/ORB_SLAM2/src/System.cc, include/System.h:63-117): construction wires
+tracking + local mapping (+ loop closing when enabled), ``track_monocular``
+is the per-frame entry, and the save_trajectory_* methods write the same
+TUM/KITTI formats as SaveTrajectoryTUM/KITTI (src/System.cc:401-541).
+
+The reference spawns three std::threads and coordinates them with
+stop/finish/reset flags; here the pipeline runs the mapping pass
+synchronously after each keyframe insertion (deterministic, testable) —
+asynchronous multi-stage execution is the distribution story
+(parallel/, SURVEY.md §2.4 "pipelined keyframe dataflow").
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry.camera import Camera
+from ..io import trajectory as traj_io
+from .local_mapping import mapping_step
+from .tracker import Tracker, TrackerOutput
+
+
+class System:
+    def __init__(
+        self,
+        cfg: Optional[SlamConfig] = None,
+        camera: Optional[Camera] = None,
+        enable_mapping: bool = True,
+        enable_loop_closing: bool = False,
+        mapping_neighbors: int = 4,
+    ):
+        self.cfg = cfg or SlamConfig()
+        cc = self.cfg.camera
+        self.camera = camera or Camera.create(
+            cc.fx, cc.fy, cc.cx, cc.cy, cc.k1, cc.k2, cc.p1, cc.p2, cc.k3,
+            width=cc.width, height=cc.height,
+        )
+        self.tracker = Tracker(self.cfg, self.camera)
+        self.enable_mapping = enable_mapping
+        self.enable_loop_closing = enable_loop_closing
+        self.mapping_neighbors = mapping_neighbors
+        self.loop_closer = None
+        if enable_loop_closing:
+            from .loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(self.cfg, self.tracker)
+        if enable_mapping:
+            self.tracker.mapping_hook = self._on_new_keyframe
+        self.localization_only = False
+
+    # ------------------------------------------------------------------
+    def _on_new_keyframe(self, kf_id: int):
+        if self.localization_only:
+            return
+        t = self.tracker
+        t.m = mapping_step(
+            t.m, jnp.asarray(kf_id), t.K, t.scale_factors, t.sigma2,
+            t.inv_sigma2, self.cfg, n_neighbors=self.mapping_neighbors,
+        )
+        if self.loop_closer is not None:
+            self.loop_closer.on_keyframe(kf_id)
+
+    # ------------------------------------------------------------------
+    def track_monocular(self, image: np.ndarray, timestamp: float) -> TrackerOutput:
+        """Per-frame entry (System::TrackMonocular, src/System.cc:307-361).
+        image: (H, W) grayscale float or uint8."""
+        img = np.asarray(image, dtype=np.float32)
+        return self.tracker.process_frame(img, timestamp)
+
+    def activate_localization_mode(self):
+        """Tracking-only mode (System::ActivateLocalizationMode,
+        src/System.cc:364)."""
+        self.localization_only = True
+        self.tracker.allow_keyframes = False
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+        self.tracker.allow_keyframes = True
+
+    def reset(self):
+        """System::Reset (src/System.cc:375)."""
+        self.tracker = Tracker(self.cfg, self.camera)
+        if self.enable_mapping:
+            self.tracker.mapping_hook = self._on_new_keyframe
+
+    # ------------------------------------------------------------------
+    @property
+    def map(self):
+        return self.tracker.m
+
+    def n_keyframes(self) -> int:
+        return int(self.map.kf_valid.sum())
+
+    def n_map_points(self) -> int:
+        return int(self.map.mp_valid.sum())
+
+    # ------------------------------------------------------------------
+    def save_trajectory_tum(self, path: str):
+        ts, Twc = self.tracker.trajectory_Twc()
+        traj_io.save_tum(path, ts, Twc)
+
+    def save_trajectory_kitti(self, path: str):
+        _, Twc = self.tracker.trajectory_Twc()
+        traj_io.save_kitti(path, Twc)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """Keyframe-only export (SaveKeyFrameTrajectoryTUM,
+        src/System.cc:457-491)."""
+        m = self.map
+        valid = np.asarray(m.kf_valid)
+        Tcw = np.asarray(m.kf_pose)[valid]
+        ts = np.asarray(m.kf_timestamp)[valid]
+        traj_io.save_tum(path, ts, np.linalg.inv(Tcw))
