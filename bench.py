@@ -37,7 +37,6 @@ def main():
     ex = OrbExtractor(cfg, (H, W))
     K = jnp.asarray([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
 
-    @jax.jit
     def frame_step(image, prev_desc, prev_valid, points, Tcw0):
         feats = ex._extract_impl(image)
         dist = hamming.masked_distance_matrix(
@@ -53,9 +52,30 @@ def main():
         )
         return Tcw, n_inl, feats.desc, feats.valid
 
+    N_STEPS = 50
+
+    @jax.jit
+    def run_frames(images, prev_desc, prev_valid, points, Tcw0):
+        """Device-resident loop over frames: measures sustained per-chip
+        throughput without a host round trip per frame (the tunnel RTT would
+        otherwise dominate)."""
+
+        def body(carry, i):
+            Tcw, prev_desc, prev_valid = carry
+            img = images[i % images.shape[0]]
+            Tcw, n_inl, desc, valid = frame_step(
+                img, prev_desc, prev_valid, points, Tcw
+            )
+            return (Tcw, desc, valid), n_inl
+
+        (Tcw, d, v), n_inls = jax.lax.scan(
+            body, (Tcw0, prev_desc, prev_valid), jnp.arange(N_STEPS)
+        )
+        return Tcw, n_inls
+
     # realistic textured frames (corners for FAST), deterministic
     seq = make_synthetic_sequence(n_frames=4, h=H, w=W, seed=0, motion="strafe")
-    images = [jnp.asarray(f.image) for f in seq.frames]
+    images = jnp.stack([jnp.asarray(f.image) for f in seq.frames])
     rng = np.random.default_rng(0)
     prev_desc = jnp.asarray(rng.integers(0, 2**32, (N, 8), dtype=np.uint32))
     prev_valid = jnp.ones(N, bool)
@@ -68,18 +88,14 @@ def main():
     Tcw0 = jnp.eye(4)
 
     # warmup / compile
-    out = frame_step(images[0], prev_desc, prev_valid, points, Tcw0)
+    out = run_frames(images, prev_desc, prev_valid, points, Tcw0)
     jax.block_until_ready(out)
 
-    n_iters = 50
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        Tcw, n_inl, prev_desc, prev_valid = frame_step(
-            images[i % len(images)], prev_desc, prev_valid, points, Tcw0
-        )
-    jax.block_until_ready((Tcw, prev_desc))
+    out = run_frames(images, prev_desc, prev_valid, points, Tcw0)
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    fps = N_STEPS / dt
 
     print(
         json.dumps(
