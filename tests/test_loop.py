@@ -1,0 +1,135 @@
+"""Loop-closing integration tests on an out-and-back synthetic sequence."""
+
+import numpy as np
+import pytest
+
+from weiner_slamit_v2_tpu.config import (
+    CameraConfig,
+    MapCapacityConfig,
+    OrbConfig,
+    LoopConfig,
+    SlamConfig,
+)
+from weiner_slamit_v2_tpu.geometry.camera import Camera
+from weiner_slamit_v2_tpu.io.datasets import FrameData, Sequence, SyntheticWorld, _perlin_texture
+from weiner_slamit_v2_tpu.tracking.system import System
+
+H, W = 240, 320
+FX = 300.0
+K = np.array([[FX, 0, 159.5], [0, FX, 119.5], [0, 0, 1]], np.float32)
+
+
+def out_and_back_sequence(n_frames=36, seed=31):
+    """Strafe out and back so the end revisits the start's view."""
+    import jax.numpy as jnp
+
+    from weiner_slamit_v2_tpu.geometry import se3
+
+    rng = np.random.default_rng(seed)
+    world = SyntheticWorld(
+        texture=_perlin_texture(int(H * 2.5), int(W * 2.5), rng),
+        K=K, plane_depth=4.0, pixels_per_meter=FX / 4.0,
+    )
+    frames = []
+    gt = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        a = i / (n_frames - 1)
+        # out for the first half, back for the second; slight y + yaw motion
+        s = np.sin(np.pi * a)  # 0 -> 1 -> 0
+        twc = np.array([0.9 * s, 0.08 * np.sin(4 * np.pi * a), 0.0])
+        rot = np.array([0.0, -0.10 * s, 0.0])
+        Twc = np.eye(4)
+        Twc[:3, :3] = np.asarray(se3.so3_exp(jnp.asarray(rot, jnp.float32)))
+        Twc[:3, 3] = twc
+        gt[i] = Twc
+        frames.append(
+            FrameData(timestamp=i / 30.0, image=world.render(np.linalg.inv(Twc), H, W))
+        )
+    return Sequence(frames=frames, gt_Twc=gt)
+
+
+def loop_config():
+    return SlamConfig(
+        orb=OrbConfig(n_features=256),
+        camera=CameraConfig(
+            fx=FX, fy=FX, cx=159.5, cy=119.5, k1=0, k2=0, p1=0, p2=0, k3=0,
+            width=W, height=H,
+        ),
+        capacity=MapCapacityConfig(
+            max_keyframes=32, max_map_points=2048, max_obs_per_point=16,
+            local_ba_window=8, local_ba_points=512,
+        ),
+        # small maps -> soften the loop gates so a synthetic revisit can fire
+        loop=LoopConfig(min_kfs_between_loops=4, covisibility_consistency_th=1),
+    )
+
+
+@pytest.fixture(scope="module")
+def loop_run():
+    seq = out_and_back_sequence()
+    cam = Camera.create(FX, FX, 159.5, 119.5, width=W, height=H)
+    sys_ = System(loop_config(), cam, enable_loop_closing=True)
+    states = [sys_.track_monocular(f.image, f.timestamp) for f in seq.frames]
+    return seq, sys_, states
+
+
+class TestLoopClosing:
+    def test_tracking_survives_loop_machinery(self, loop_run):
+        seq, sys_, states = loop_run
+        ok = [s for s in states if s.state == "OK"]
+        assert len(ok) > 20, [s.state for s in states]
+
+    def test_map_stays_finite_and_orthonormal(self, loop_run):
+        seq, sys_, states = loop_run
+        m = sys_.map
+        kv = np.asarray(m.kf_valid)
+        poses = np.asarray(m.kf_pose)[kv]
+        assert np.isfinite(poses).all()
+        for T in poses:
+            assert abs(np.linalg.det(T[:3, :3]) - 1.0) < 1e-2
+        pts = np.asarray(m.mp_pos)[np.asarray(m.mp_valid)]
+        assert np.isfinite(pts).all()
+
+    def test_direct_sim3_between_overlapping_keyframes(self, loop_run):
+        """Drive the Sim3 stage directly on two keyframes that view the same
+        region (first and last) — the ComputeSim3 contract."""
+        import jax
+        import jax.numpy as jnp
+
+        from weiner_slamit_v2_tpu.frontend import matcher
+        from weiner_slamit_v2_tpu.geometry import se3, sim3
+        from weiner_slamit_v2_tpu.optim.sim3_solver import ransac_sim3
+
+        seq, sys_, states = loop_run
+        t = sys_.tracker
+        m = t.m
+        kv = np.nonzero(np.asarray(m.kf_valid))[0]
+        a, b = int(kv[0]), int(kv[-1])
+        if b - a < 4:
+            pytest.skip("too few keyframes for a loop pair")
+
+        has1 = (m.kf_obs[a] >= 0) & m.kf_feat_valid[a]
+        has2 = (m.kf_obs[b] >= 0) & m.kf_feat_valid[b]
+        idx, dist = matcher.match_by_descriptor(
+            m.kf_desc[a], m.kf_desc[b], has1, has2, nn_ratio=0.75
+        )
+        ok = idx >= 0
+        n_matches = int(ok.sum())
+        assert n_matches >= 15, f"only {n_matches} loop matches"
+
+        mp1 = jnp.maximum(m.kf_obs[a], 0)
+        mp2 = jnp.maximum(m.kf_obs[b][jnp.maximum(idx, 0)], 0)
+        X1 = se3.apply(m.kf_pose[a], m.mp_pos[mp1])
+        X2 = se3.apply(m.kf_pose[b], m.mp_pos[mp2])
+        uv1 = m.kf_xy[a]
+        uv2 = m.kf_xy[b][jnp.maximum(idx, 0)]
+        n = uv1.shape[0]
+        S12, inl, n_inl = ransac_sim3(
+            X1, X2, ok & m.mp_valid[mp1] & m.mp_valid[mp2], uv1, uv2,
+            jnp.ones(n), jnp.ones(n), t.K, jax.random.PRNGKey(0),
+        )
+        assert int(n_inl) >= 10
+        # the relative transform should be near the SE3 relative pose with
+        # scale close to 1 (same map, same scale)
+        s = float(sim3.scale_of(S12))
+        assert 0.7 < s < 1.4, f"loop Sim3 scale {s}"

@@ -1,1 +1,1 @@
-from . import fast, hamming, orb, pattern, pyramid, topk_grid  # noqa: F401
+from . import fast, hamming, orb, pattern, pyramid, stereo, topk_grid  # noqa: F401

@@ -74,6 +74,26 @@ class System:
         img = np.asarray(image, dtype=np.float32)
         return self.tracker.process_frame(img, timestamp)
 
+    def track_rgbd(
+        self, image: np.ndarray, depth: np.ndarray, timestamp: float
+    ) -> TrackerOutput:
+        """RGB-D entry (System::TrackRGBD, src/System.cc:260-305):
+        depth-based initialization + depth-backed new map points."""
+        return self.tracker.process_frame(
+            np.asarray(image, np.float32), timestamp,
+            depth=np.asarray(depth, np.float32),
+        )
+
+    def track_stereo(
+        self, left: np.ndarray, right: np.ndarray, timestamp: float
+    ) -> TrackerOutput:
+        """Stereo entry (System::TrackStereo, src/System.cc:215-258):
+        row-banded stereo matching supplies per-feature depth."""
+        return self.tracker.process_frame(
+            np.asarray(left, np.float32), timestamp,
+            image_right=np.asarray(right, np.float32),
+        )
+
     def activate_localization_mode(self):
         """Tracking-only mode (System::ActivateLocalizationMode,
         src/System.cc:364)."""
@@ -86,9 +106,9 @@ class System:
 
     def reset(self):
         """System::Reset (src/System.cc:375)."""
-        self.tracker = Tracker(self.cfg, self.camera)
-        if self.enable_mapping:
-            self.tracker.mapping_hook = self._on_new_keyframe
+        self.tracker.reset()
+        self.tracker.trajectory.clear()
+        self.tracker.frame_id = -1
 
     # ------------------------------------------------------------------
     @property

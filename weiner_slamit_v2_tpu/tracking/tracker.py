@@ -262,6 +262,7 @@ class Tracker:
         self.ref_kf = 0
         self.last_kf_frame = 0
         self.init_feats: Optional[FrameFeatures] = None
+        self._cur_depth: Optional[jnp.ndarray] = None
         self.trajectory: list[tuple[float, np.ndarray]] = []
         self.mapping_hook = None  # set by System: called with (new_kf_id)
         self.allow_keyframes = True  # cleared in localization-only mode
@@ -270,13 +271,43 @@ class Tracker:
         self.bow = BowIndex(cfg.capacity.max_keyframes)
 
     # ------------------------------------------------------------------
-    def process_frame(self, image: np.ndarray, timestamp: float) -> TrackerOutput:
+    def process_frame(
+        self,
+        image: np.ndarray,
+        timestamp: float,
+        depth: np.ndarray | None = None,
+        image_right: np.ndarray | None = None,
+    ) -> TrackerOutput:
+        """Track one frame. `depth` (H, W) meters enables the RGB-D path;
+        `image_right` enables the stereo path (rectified pair)."""
         self.frame_id += 1
         feats = self.extractor(jnp.asarray(image, jnp.float32))
         feats = feats.replace(xy_und=self.camera.undistort_points(feats.xy))
 
+        # per-feature depth for stereo / RGB-D frames
+        feat_depth = None
+        if depth is not None:
+            from ..ops.stereo import depth_from_depthmap
+
+            feat_depth = depth_from_depthmap(feats, jnp.asarray(depth, jnp.float32))
+        elif image_right is not None:
+            from ..ops.stereo import match_stereo
+
+            feats_r = self.extractor(jnp.asarray(image_right, jnp.float32))
+            bf = jnp.asarray(self.cfg.camera.baseline_times_fx, jnp.float32)
+            min_z = bf / jnp.asarray(self.camera.fx)
+            feat_depth, _ = match_stereo(
+                feats, feats_r, jnp.asarray(image, jnp.float32),
+                jnp.asarray(image_right, jnp.float32), bf, min_z,
+                self.scale_factors, self.cfg.orb.n_levels,
+            )
+        self._cur_depth = feat_depth
+
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
-            out = self._try_initialize(feats, timestamp)
+            if feat_depth is not None:
+                out = self._initialize_with_depth(feats, feat_depth, timestamp)
+            else:
+                out = self._try_initialize(feats, timestamp)
         elif self.state == OK:
             out = self._track(feats, timestamp)
         else:
@@ -287,6 +318,51 @@ class Tracker:
         elif self.trajectory:
             self.trajectory.append((timestamp, self.trajectory[-1][1]))
         return out
+
+    def _initialize_with_depth(
+        self, feats: FrameFeatures, feat_depth: jnp.ndarray, ts: float
+    ) -> TrackerOutput:
+        """Stereo/RGB-D initialization (Tracking::StereoInitialization,
+        src/Tracking.cc:700-748): one keyframe, map points unprojected from
+        depth — no two-view geometry needed."""
+        cfg = self.cfg
+        n_valid = int(feats.valid.sum())
+        if n_valid <= 100:  # ref demands N>500 at 2000 feats; scale to budget
+            return TrackerOutput(NOT_INITIALIZED, None, 0, False)
+
+        N = feats.n
+        m, kf0 = mt.add_keyframe(
+            self.m, jnp.eye(4), feats.xy_und, feats.octave, feats.angle,
+            feats.desc, feats.valid, jnp.full(N, -1, jnp.int32),
+            jnp.asarray(self.frame_id), jnp.asarray(ts, jnp.float32),
+            jnp.asarray(-1),
+        )
+        has_d = feats.valid & (feat_depth > 0)
+        X = self.camera.unproject(feats.xy_und, feat_depth)
+        m, ids = mt.add_map_points(
+            m,
+            pos=X,
+            desc=feats.desc,
+            normal=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (N, 1)),
+            min_dist=jnp.full(N, 0.1),
+            max_dist=jnp.full(N, 100.0),
+            kf1=jnp.full(N, int(kf0), jnp.int32),
+            feat1=jnp.arange(N, dtype=jnp.int32),
+            kf2=jnp.full(N, -1, jnp.int32),
+            feat2=jnp.zeros(N, jnp.int32),
+            valid=has_d,
+        )
+        m = refresh_point_stats(m, self.scale_factors)
+        self.m = m
+        self.last_feats = feats
+        self.last_obs = self.m.kf_obs[int(kf0)]
+        self.last_Tcw = jnp.eye(4)
+        self.velocity = None
+        self.ref_kf = int(kf0)
+        self.last_kf_frame = self.frame_id
+        self.state = OK
+        self._register_kf_bow(int(kf0))
+        return TrackerOutput(OK, np.eye(4), int(has_d.sum()), True)
 
     # ------------------------------------------------------------------
     def _try_initialize(self, feats: FrameFeatures, ts: float) -> TrackerOutput:
@@ -435,6 +511,7 @@ class Tracker:
             Tcw_pred = self.last_Tcw
             if n_matches < cfg.tracking.min_matches_refkf:
                 self.state = LOST
+                self._maybe_auto_reset()
                 return TrackerOutput(LOST, None, n_matches, False)
 
         Tcw, cur_obs, n_inl = _pose_opt_on_obs(
@@ -459,6 +536,7 @@ class Tracker:
 
         if n_inliers < cfg.tracking.min_inliers_localmap:
             self.state = LOST
+            self._maybe_auto_reset()
             return TrackerOutput(LOST, None, n_inliers, False)
 
         # motion model update
@@ -474,6 +552,29 @@ class Tracker:
             created = True
 
         return TrackerOutput(OK, np.asarray(Tcw), n_inliers, created)
+
+    def _maybe_auto_reset(self):
+        """Reset the whole session when tracking is lost soon after
+        initialization (Tracking.cc:646-656: LOST with <= 5 keyframes)."""
+        if int(self.m.kf_valid.sum()) <= self.cfg.tracking.auto_reset_max_kfs:
+            self.reset()
+
+    def reset(self):
+        """Tracking::Reset (src/Tracking.cc:1835-1870): clear the map,
+        database, and per-frame state; keep the trajectory log."""
+        from ..bow.database import BowIndex
+
+        self.m = mt.empty_map(self.cfg.capacity, self.cfg.orb.n_features)
+        self.state = NO_IMAGES_YET
+        self.last_feats = None
+        self.last_obs = None
+        self.last_Tcw = None
+        self.velocity = None
+        self.ref_kf = 0
+        self.last_kf_frame = 0
+        self.init_feats = None
+        self._cur_depth = None
+        self.bow = BowIndex(self.cfg.capacity.max_keyframes)
 
     def _track_reference_kf(self, feats: FrameFeatures):
         """TrackReferenceKeyFrame (src/Tracking.cc:977-1024): descriptor
@@ -525,6 +626,30 @@ class Tracker:
         kf = int(kf_id)
         if kf < 0:
             return
+        # stereo/RGB-D: create close points directly from depth for features
+        # without a map point (Tracking::CreateNewKeyFrame,
+        # src/Tracking.cc:1340-1395)
+        if self._cur_depth is not None:
+            N = feats.n
+            free = feats.valid & (m.kf_obs[kf] < 0) & (self._cur_depth > 0)
+            close = self._cur_depth < self.cfg.camera.depth_threshold
+            Xc = self.camera.unproject(feats.xy_und, self._cur_depth)
+            Twc = se3.inv(Tcw)
+            Xw = se3.apply(Twc, Xc)
+            m, _ = mt.add_map_points(
+                m,
+                pos=Xw,
+                desc=feats.desc,
+                normal=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (N, 1)),
+                min_dist=jnp.full(N, 0.1),
+                max_dist=jnp.full(N, 100.0),
+                kf1=jnp.full(N, kf, jnp.int32),
+                feat1=jnp.arange(N, dtype=jnp.int32),
+                kf2=jnp.full(N, -1, jnp.int32),
+                feat2=jnp.zeros(N, jnp.int32),
+                valid=free & close,
+            )
+            m = refresh_point_stats(m, self.scale_factors)
         self.m = m
         self.ref_kf = kf
         self.last_kf_frame = self.frame_id
