@@ -52,7 +52,7 @@ def main():
         )
         return Tcw, n_inl, feats.desc, feats.valid
 
-    N_STEPS = 50
+    N_STEPS = 200
 
     @jax.jit
     def run_frames(images, prev_desc, prev_valid, points, Tcw0):
@@ -86,6 +86,14 @@ def main():
         ).astype(np.float32)
     )
     Tcw0 = jnp.eye(4)
+
+    # Force the runtime into true-synchronous mode before timing: on the
+    # tunneled TPU platform, block_until_ready() does NOT actually wait for
+    # device completion until the process has performed one device->host
+    # readback; after that, every sync costs one real round trip. Reading a
+    # single element here makes all subsequent timings honest (and matches
+    # production, where poses are read back).
+    np.asarray(images[0, 0, :1])
 
     # warmup / compile
     out = run_frames(images, prev_desc, prev_valid, points, Tcw0)

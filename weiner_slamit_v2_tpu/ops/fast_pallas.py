@@ -30,10 +30,12 @@ def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """Circular shift matching jnp.roll(x, (-dy, -dx)) semantics; rows wrap
     only inside the halo'd band (the wrapped rows land outside the valid
     region and are masked by the interior test)."""
+    # pltpu.roll requires a non-negative shift; -d mod size is the same
+    # circular shift (shapes are static inside the kernel).
     if dy:
-        x = pltpu.roll(x, -dy, 0)
+        x = pltpu.roll(x, (-dy) % x.shape[0], 0)
     if dx:
-        x = pltpu.roll(x, -dx, 1)
+        x = pltpu.roll(x, (-dx) % x.shape[1], 1)
     return x
 
 

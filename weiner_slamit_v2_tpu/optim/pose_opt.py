@@ -6,11 +6,14 @@ with one SE3 vertex and N monocular projection edges, runs 4 rounds x 10 LM
 iterations with Huber (delta = sqrt(5.991)) and reclassifies inliers by chi2
 between rounds, dropping the robust kernel for the final rounds.
 
-Here the whole solve is one jit program: residuals/Jacobians for all N
-observations are batched (N x 2 x 6 einsums -> a 6x6 normal system), the LM
-loop is a ``lax.fori_loop`` with accept/reject damping, and the inter-round
-chi2 reclassification is a masked update. No graph construction, no sparse
-solver — the reduced system is always 6x6.
+Here the whole solve is one jit program. Layout matters on TPU: residuals and
+Jacobians are kept as struct-of-arrays — the Jacobian is two (6, N) row
+blocks, never an (N, 2, 6) array of per-point matrices, because batched tiny
+matmuls lower to thousands of individual MXU ops while (6, N) @ (N, 6) is a
+single well-tiled contraction. The 6x6 normal system is solved by an
+*unrolled* Cholesky (static scalar graph) instead of ``jnp.linalg.solve``,
+whose LU pivoting lowers to XLA while-loops that both compile slowly and run
+slowly inside the LM loop.
 """
 
 from __future__ import annotations
@@ -26,44 +29,69 @@ CHI2_MONO = 5.991
 HUBER_MONO = 2.4476519  # sqrt(5.991), Optimizer.cc:287
 
 
-def _residuals_jacobian(Tcw, X, uv, fx, fy, cx, cy):
-    """Batched residual r = proj(Tcw X) - uv and Jacobian wrt left-mult
-    tangent update [upsilon, omega]. Returns (r (N,2), J (N,2,6), z (N,))."""
-    P = se3.apply(Tcw, X)  # (N, 3)
-    x, y, z = P[:, 0], P[:, 1], P[:, 2]
+def solve6(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve the SPD 6x6 system A x = b by fully unrolled Cholesky.
+
+    All indexing is static, so this lowers to a branch-free scalar graph —
+    no while-loops, no pivoting. A must be symmetric positive definite
+    (guaranteed by the LM damping A = H + lam*diag(H) + eps*I).
+    """
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+        for i in range(j + 1, n):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
+def _residuals_jacobian_soa(Tcw, X, uv, fx, fy, cx, cy):
+    """Residuals + Jacobian rows in struct-of-arrays layout.
+
+    Returns (ru (N,), rv (N,), Ju (6, N), Jv (6, N), z (N,)) where Ju/Jv are
+    the per-observation gradient rows of u/v wrt the left-mult tangent
+    [upsilon, omega]: J = dproj/dP · [I | -hat(P)].
+    """
+    R = Tcw[:3, :3]
+    t = Tcw[:3, 3]
+    # P = R X + t, computed row-wise to keep everything (N,)-shaped
+    x = R[0, 0] * X[:, 0] + R[0, 1] * X[:, 1] + R[0, 2] * X[:, 2] + t[0]
+    y = R[1, 0] * X[:, 0] + R[1, 1] * X[:, 1] + R[1, 2] * X[:, 2] + t[1]
+    z = R[2, 0] * X[:, 0] + R[2, 1] * X[:, 1] + R[2, 2] * X[:, 2] + t[2]
     z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
     iz = 1.0 / z_safe
-    u = fx * x * iz + cx
-    v = fy * y * iz + cy
-    r = jnp.stack([u, v], axis=1) - uv
-
-    # d(proj)/dP
+    iz2 = iz * iz
+    ru = fx * x * iz + cx - uv[:, 0]
+    rv = fy * y * iz + cy - uv[:, 1]
     zero = jnp.zeros_like(x)
-    du = jnp.stack([fx * iz, zero, -fx * x * iz * iz], axis=1)
-    dv = jnp.stack([zero, fy * iz, -fy * y * iz * iz], axis=1)
-    dproj = jnp.stack([du, dv], axis=1)  # (N, 2, 3)
-
-    # dP/dxi for P' = exp(xi) (R X + t): [ I | -hat(P) ]
-    N = X.shape[0]
-    eye = jnp.broadcast_to(jnp.eye(3), (N, 3, 3))
-    dP = jnp.concatenate([eye, -se3.hat(P)], axis=2)  # (N, 3, 6)
-
-    J = jnp.einsum("nij,njk->nik", dproj, dP)  # (N, 2, 6)
-    return r, J, z
-
-
-def _weighted_normal_system(r, J, w):
-    """H = sum w J^T J, b = -sum w J^T r over the batch. w: (N,)."""
-    Jw = J * w[:, None, None]
-    H = jnp.einsum("nij,nik->jk", Jw, J)
-    b = -jnp.einsum("nij,ni->j", Jw, r)
-    return H, b
-
-
-def _robust_weight(chi2, delta2, robust):
-    """IRLS weight for the Huber kernel on chi2 = ||r||^2_Sigma."""
-    w = jnp.where(chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
-    return jnp.where(robust, w, 1.0)
+    # d(u)/d[t, omega] with P' = exp(xi)(RX+t): dP/dt = I, dP/domega = -hat(P)
+    Ju = jnp.stack(
+        [fx * iz, zero, -fx * x * iz2,
+         -fx * x * y * iz2, fx * (1.0 + x * x * iz2), -fx * y * iz]
+    )
+    Jv = jnp.stack(
+        [zero, fy * iz, -fy * y * iz2,
+         -fy * (1.0 + y * y * iz2), fy * x * y * iz2, fy * x * iz]
+    )
+    return ru, rv, Ju, Jv, z
 
 
 @partial(jax.jit, static_argnames=("n_rounds", "n_iters"))
@@ -94,41 +122,47 @@ def optimize_pose(
     delta2 = CHI2_MONO  # Huber delta^2
 
     def chi2_of(Tcw):
-        r, _, z = _residuals_jacobian(Tcw, X, uv, fx, fy, cx, cy)
-        c = jnp.sum(r * r, axis=1) * inv_sigma2
-        return c, z
+        ru, rv, _, _, z = _residuals_jacobian_soa(Tcw, X, uv, fx, fy, cx, cy)
+        return (ru * ru + rv * rv) * inv_sigma2, z
 
-    inliers = valid
+    def robust_cost(chi2, z, mask, robust):
+        rho = jnp.where(
+            (chi2 <= delta2) | ~robust,
+            chi2,
+            2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12)) - delta2,
+        )
+        return jnp.sum(jnp.where(mask & (z > 0), rho, 0.0))
 
     def round_body(carry, robust):
         Tcw, inliers = carry
 
         def lm_step(_, state):
             Tcw, lam = state
-            r, J, z = _residuals_jacobian(Tcw, X, uv, fx, fy, cx, cy)
-            chi2 = jnp.sum(r * r, axis=1) * inv_sigma2
-            w = inv_sigma2 * _robust_weight(chi2, delta2, robust)
-            w = jnp.where(inliers & (z > 0), w, 0.0)
-            H, b = _weighted_normal_system(r, J, w)
-            # current robust cost
-            rho = jnp.where(
-                (chi2 <= delta2) | ~robust,
-                chi2,
-                2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12)) - delta2,
+            ru, rv, Ju, Jv, z = _residuals_jacobian_soa(
+                Tcw, X, uv, fx, fy, cx, cy
             )
-            cost0 = jnp.sum(jnp.where(inliers & (z > 0), rho, 0.0))
+            chi2 = (ru * ru + rv * rv) * inv_sigma2
+            # IRLS weight for the Huber kernel on chi2 = ||r||^2_Sigma
+            wr = jnp.where(
+                chi2 <= delta2,
+                1.0,
+                jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)),
+            )
+            w = inv_sigma2 * jnp.where(robust, wr, 1.0)
+            w = jnp.where(inliers & (z > 0), w, 0.0)
+            # H = Ju W Ju^T + Jv W Jv^T: two (6, N) @ (N, 6) contractions
+            Juw = Ju * w
+            Jvw = Jv * w
+            H = Juw @ Ju.T + Jvw @ Jv.T
+            b = -(Juw @ ru + Jvw @ rv)
+            cost0 = robust_cost(chi2, z, inliers, robust)
 
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
-            dx = jnp.linalg.solve(Hd, b)
+            dx = solve6(Hd, b)
             T_new = se3.retract(Tcw, dx)
 
             c_new, z_new = chi2_of(T_new)
-            rho_new = jnp.where(
-                (c_new <= delta2) | ~robust,
-                c_new,
-                2.0 * jnp.sqrt(delta2 * jnp.maximum(c_new, 1e-12)) - delta2,
-            )
-            cost1 = jnp.sum(jnp.where(inliers & (z_new > 0), rho_new, 0.0))
+            cost1 = robust_cost(c_new, z_new, inliers, robust)
 
             finite = jnp.isfinite(cost1) & jnp.all(jnp.isfinite(dx))
             accept = (cost1 < cost0) & finite
@@ -143,7 +177,7 @@ def optimize_pose(
         inliers = valid & (chi2 <= chi2_th) & (z > 0)
         return (Tcw, inliers), None
 
-    Tcw, cur_inliers = Tcw0, inliers
+    Tcw, cur_inliers = Tcw0, valid
     # robust kernel on for rounds 0,1; off for 2,3 (Optimizer.cc:432:
     # e->setRobustKernel(0) at it==2)
     for rnd in range(n_rounds):
