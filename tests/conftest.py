@@ -14,6 +14,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+# The axon TPU-tunnel plugin prepends itself to jax_platforms regardless of
+# the env var (it becomes "axon,cpu"); force the config explicitly or the
+# whole suite silently runs over the TPU tunnel (every compile is a remote
+# round trip, every sync 22 ms — PLATFORM.md §1).
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
+
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: repeat test runs skip XLA compilation.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")

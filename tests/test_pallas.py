@@ -8,6 +8,20 @@ from weiner_slamit_v2_tpu.ops import fast
 from weiner_slamit_v2_tpu.ops.fast_pallas import fast_score_nms_pallas
 
 
+def blob_image(h=160, w=256, seed=3):
+    """Corner-rich image: bright axis-aligned squares on a dark background
+    (every square corner is a FAST-9 corner, unlike a checkerboard whose
+    saddle corners have no 9-contiguous arc)."""
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w), 20.0, np.float32)
+    for _ in range(40):
+        y = rng.integers(8, h - 24)
+        x = rng.integers(8, w - 24)
+        s = rng.integers(6, 16)
+        img[y : y + s, x : x + s] = 220.0
+    return img
+
+
 class TestFastPallas:
     def _reference(self, img):
         return np.asarray(fast.nms_3x3(fast.fast_score(jnp.asarray(img), 0.0)))
@@ -18,14 +32,24 @@ class TestFastPallas:
         ref = self._reference(img)
         out = np.asarray(fast_score_nms_pallas(jnp.asarray(img), interpret=True))
         np.testing.assert_allclose(out, ref, atol=1e-4)
+        assert (out > 0).sum() > 20  # random texture is corner-dense
 
-    def test_matches_on_checkerboard(self):
+    def test_matches_on_blobs(self):
+        img = blob_image()
+        ref = self._reference(img)
+        out = np.asarray(fast_score_nms_pallas(jnp.asarray(img), interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+        assert (out > 0).sum() > 20  # square corners are FAST-9 corners
+
+    def test_checkerboard_agrees_with_xla(self):
+        # A perfect checkerboard has NO FAST-9 corners (a saddle point's
+        # ring alternates bright/dark every quarter turn: max contiguous
+        # arc is 8 < 9) — the kernels must agree on that too.
         yy, xx = np.mgrid[0:128, 0:256]
         img = (((yy // 12) + (xx // 12)) % 2).astype(np.float32) * 200.0
         ref = self._reference(img)
         out = np.asarray(fast_score_nms_pallas(jnp.asarray(img), interpret=True))
         np.testing.assert_allclose(out, ref, atol=1e-4)
-        assert (out > 0).sum() > 20  # corners found
 
     def test_nonmultiple_height(self):
         rng = np.random.default_rng(1)
@@ -33,3 +57,38 @@ class TestFastPallas:
         ref = self._reference(img)
         out = np.asarray(fast_score_nms_pallas(jnp.asarray(img), interpret=True))
         np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+class TestExtractorPallasPath:
+    def test_extractor_pallas_path_matches_xla_path(self):
+        """The production wiring: an extractor forced onto the Pallas path
+        (interpret mode on CPU) must produce identical features to the XLA
+        path."""
+        from weiner_slamit_v2_tpu.config import OrbConfig
+        from weiner_slamit_v2_tpu.frontend.extractor import OrbExtractor
+        from weiner_slamit_v2_tpu.ops import fast_pallas
+
+        img = jnp.asarray(blob_image(192, 256, seed=7))
+        cfg = OrbConfig(n_features=128, n_levels=2)
+        ex_xla = OrbExtractor(cfg, (192, 256), use_pallas=False)
+        f_xla = ex_xla._extract_impl(img)  # eager, like the pallas run below
+
+        # route the pallas path through interpret mode for the CPU test
+        orig = fast_pallas.fast_score_nms_pallas
+        import weiner_slamit_v2_tpu.frontend.extractor as ext_mod
+
+        ext_mod.fast_score_nms_pallas = lambda im: orig(im, interpret=True)
+        try:
+            ex_p = OrbExtractor(cfg, (192, 256), use_pallas=True)
+            f_p = ex_p._extract_impl(img)  # un-jitted: picks up the patch
+        finally:
+            ext_mod.fast_score_nms_pallas = orig
+
+        np.testing.assert_allclose(np.asarray(f_p.xy), np.asarray(f_xla.xy))
+        np.testing.assert_array_equal(
+            np.asarray(f_p.desc), np.asarray(f_xla.desc)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(f_p.valid), np.asarray(f_xla.valid)
+        )
+        assert int(f_xla.valid.sum()) > 32

@@ -23,6 +23,7 @@ import numpy as np
 
 from ..config import OrbConfig
 from ..ops import fast, orb, pyramid, topk_grid
+from ..ops.fast_pallas import fast_score_nms_pallas, use_pallas_default
 from ..ops.pattern import EDGE_MARGIN
 
 
@@ -58,9 +59,19 @@ def level_budgets(n_features: int, n_levels: int, scale_factor: float) -> list[i
 class OrbExtractor:
     """Stateless extractor; precomputes static per-level metadata."""
 
-    def __init__(self, cfg: OrbConfig, image_hw: tuple[int, int]):
+    def __init__(
+        self,
+        cfg: OrbConfig,
+        image_hw: tuple[int, int],
+        use_pallas: bool | None = None,
+    ):
         self.cfg = cfg
         self.image_hw = image_hw
+        # Fused Pallas FAST+NMS kernel on real TPU backends (one HBM
+        # read/write per level instead of ~20 intermediate maps); XLA
+        # reference path on CPU. Narrow pyramid levels (<128 lanes) stay on
+        # the XLA path either way.
+        self.use_pallas = use_pallas_default() if use_pallas is None else use_pallas
         self.budgets = level_budgets(cfg.n_features, cfg.n_levels, cfg.scale_factor)
         self.scales = pyramid.scale_factors(cfg.n_levels, cfg.scale_factor)
         self.sigma2 = (self.scales**2).astype(np.float32)
@@ -81,7 +92,16 @@ class OrbExtractor:
             budget = self.budgets[lvl]
             if budget == 0:
                 continue
-            score = fast.nms_3x3(fast.fast_score(img, cfg.fast_min_threshold))
+            # NMS-then-threshold == threshold-then-NMS for a monotone
+            # threshold on one score map (a suppressing neighbor always
+            # scores >= the suppressed pixel), and select_keypoints applies
+            # the low-threshold mask itself — so the Pallas kernel's
+            # threshold-0 fused FAST+NMS map is interchangeable with the
+            # XLA fast_score(min_threshold)+nms_3x3 pair.
+            if self.use_pallas and img.shape[1] >= 128:
+                score = fast_score_nms_pallas(img)
+            else:
+                score = fast.nms_3x3(fast.fast_score(img, cfg.fast_min_threshold))
             xy, resp, valid = topk_grid.select_keypoints(
                 score,
                 budget=budget,

@@ -180,12 +180,16 @@ def match_by_descriptor(
     desc2: jnp.ndarray,
     valid1: jnp.ndarray,
     valid2: jnp.ndarray,
-    max_dist: int = TH_LOW,
-    nn_ratio: float = 0.75,
+    max_dist: int | jnp.ndarray = TH_LOW,
+    nn_ratio: float | jnp.ndarray = 0.75,
+    angle1: jnp.ndarray | None = None,
+    angle2: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Unwindowed brute-force matching with ratio test (the array equivalent
     of SearchByBoW's within-vocabulary-node brute force — on TPU the full
-    matrix is cheaper than the node bucketing)."""
+    matrix is cheaper than the node bucketing). The optional angle pair
+    enables the rotation-histogram consistency filter the reference applies
+    in SearchByBoW (mbCheckOrientation, ORBmatcher.cc:161-292)."""
     dist = hamming.masked_distance_matrix(desc1, desc2, valid1, valid2)
     idx, best, second = hamming.best_and_second(dist)
     ok = (best <= max_dist) & (
@@ -193,5 +197,7 @@ def match_by_descriptor(
             second < INVALID_DIST, second, INVALID_DIST
         ).astype(jnp.float32)
     )
+    if angle1 is not None and angle2 is not None:
+        ok = rotation_consistency_mask(angle1, angle2[idx], ok)
     ok = ok & _column_unique_best(idx, best, ok, desc2.shape[0])
     return jnp.where(ok, idx, -1), best

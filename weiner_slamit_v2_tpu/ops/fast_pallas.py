@@ -40,16 +40,18 @@ def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 
 
 def _band_kernel(h_ref, img_hbm, out_ref, scratch, sem):
-    """Grid over row bands. h_ref: (1,) SMEM actual image height."""
+    """Grid over row bands. h_ref: (1,) SMEM actual (unpadded) image height.
+
+    The caller pads the image by HALO rows top and bottom, so every band's
+    (tile + 2*HALO)-row copy starting at band*tile is statically in bounds —
+    no clamping, and the output rows land at the constant local offset HALO.
+    """
     tile = out_ref.shape[0]
     band = pl.program_id(0)
     h = h_ref[0]
-    w = out_ref.shape[1]
+    w = h_ref[1]  # true (unpadded) width for the interior mask
 
-    # DMA the band + halo into VMEM. Clamp the start so edge bands read
-    # in-bounds rows; the row coordinates are recomputed for masking below.
-    start = band * tile - HALO
-    start = jnp.clip(start, 0, jnp.maximum(h - (tile + 2 * HALO), 0))
+    start = band * tile  # in padded coordinates == band*tile - HALO unpadded
     copy = pltpu.make_async_copy(
         img_hbm.at[pl.ds(start, tile + 2 * HALO), :],
         scratch,
@@ -75,9 +77,9 @@ def _band_kernel(h_ref, img_hbm, out_ref, scratch, sem):
     dark = arc_score([img - r for r in ring])
     score = jnp.maximum(bright, dark)
 
-    # valid-coordinate masking in global image coordinates
+    # valid-coordinate masking in global (unpadded) image coordinates
     local_y = jax.lax.broadcasted_iota(jnp.int32, img.shape, 0)
-    global_y = local_y + start
+    global_y = local_y + start - HALO
     xx = jax.lax.broadcasted_iota(jnp.int32, img.shape, 1)
     interior = (
         (global_y >= 3) & (global_y < h - 3) & (xx >= 3) & (xx < w - 3)
@@ -92,9 +94,11 @@ def _band_kernel(h_ref, img_hbm, out_ref, scratch, sem):
     nms = jnp.where(keep, score, 0.0)
 
     # write back the rows of this band: rows [band*tile, band*tile+tile)
-    # live at local offset band*tile - start
-    off = band * tile - start
-    out_ref[:] = jax.lax.dynamic_slice(nms, (off, 0), (tile, w))
+    # always live at local offset HALO (static slice)
+    out_ref[:] = nms[HALO : HALO + tile, :]
+
+
+_WPAD = 128  # lane alignment for Mosaic memref slices
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -108,8 +112,12 @@ def fast_score_nms_pallas(
     """
     h, w = image.shape
     h_pad = -(-h // tile) * tile
-    if h_pad != h:
-        image = jnp.pad(image, ((0, h_pad - h), (0, 0)))
+    # Mosaic requires lane-aligned (128) slices along the minor dimension;
+    # zero-pad the width (padding columns are masked by the interior test).
+    w_pad = -(-w // 128) * 128
+    # HALO rows of padding on both sides make every band's halo'd copy
+    # statically in bounds (padding rows are masked out by the interior test)
+    image = jnp.pad(image, ((HALO, h_pad - h + HALO), (0, w_pad - w)))
     n_bands = h_pad // tile
 
     out = pl.pallas_call(
@@ -117,19 +125,19 @@ def fast_score_nms_pallas(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_bands,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (tile, w), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
+                (tile, w_pad), lambda b, *_: (b, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((tile + 2 * HALO, w), image.dtype),
+                pltpu.VMEM((tile + 2 * HALO, w_pad), image.dtype),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((h_pad, w), image.dtype),
+        out_shape=jax.ShapeDtypeStruct((h_pad, w_pad), image.dtype),
         interpret=interpret,
-    )(jnp.asarray([h], jnp.int32), image)
-    return out[:h]
+    )(jnp.asarray([h, w], jnp.int32), image)
+    return out[:h, :w]
 
 
 def use_pallas_default() -> bool:

@@ -37,7 +37,7 @@ def _median_depth_of_kf(m: SlamMap, kf_id) -> jnp.ndarray:
     return jnp.where(jnp.isnan(med), 1.0, med)
 
 
-def triangulate_with_neighbor(
+def _triangulation_candidates(
     m: SlamMap,
     kf1,
     kf2,
@@ -45,11 +45,14 @@ def triangulate_with_neighbor(
     scale_factors: jnp.ndarray,
     sigma2: jnp.ndarray,
     cfg: SlamConfig,
-) -> SlamMap:
-    """Create new map points between keyframes kf1 (current) and kf2
+):
+    """Candidate new map points between keyframes kf1 (current) and kf2
     (covisible neighbor): epipolar-gated matching of yet-unmatched features,
     DLT triangulation, and the reference's acceptance gates
     (LocalMapping::CreateNewMapPoints, src/LocalMapping.cc:221-505).
+
+    Returns (good (N,), X (N,3), idx (N,), best_dist (N,)) — vmapped over
+    neighbors by :func:`triangulate_with_neighbors`.
     """
     T1 = m.kf_pose[kf1]
     T2 = m.kf_pose[kf2]
@@ -135,9 +138,53 @@ def triangulate_with_neighbor(
         ok & pair_ok & finite & (cosp < 0.9998) & (cosp > 0)
         & (z1 > 0) & (z2 > 0) & err1_ok & err2_ok & scale_ok
     )
+    return good, X, idx, best
 
-    # --- insert ----------------------------------------------------------
-    normal = (X - C1) / jnp.maximum(jnp.linalg.norm(X - C1, axis=1, keepdims=True), 1e-9)
+
+def triangulate_with_neighbors(
+    m: SlamMap,
+    kf1,
+    neighbors: jnp.ndarray,   # (nn,) keyframe ids
+    neigh_ok: jnp.ndarray,    # (nn,) bool
+    K: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    cfg: SlamConfig,
+) -> SlamMap:
+    """Triangulate new points against every covisible neighbor at once.
+
+    The reference walks the nn=20 neighbors sequentially and a feature gets
+    its point from the first neighbor that matches it
+    (src/LocalMapping.cc:221-505); the batched equivalent computes all
+    neighbor candidates with one vmapped program and keeps, per feature, the
+    candidate with the smallest descriptor distance — then inserts the whole
+    batch with a single scatter.
+    """
+    good_nn, X_nn, idx_nn, dist_nn = jax.vmap(
+        lambda k2: _triangulation_candidates(
+            m, kf1, k2, K, scale_factors, sigma2, cfg
+        )
+    )(jnp.maximum(neighbors, 0))
+    good_nn = good_nn & neigh_ok[:, None] & (neighbors[:, None] != kf1)
+
+    # per-feature winner across neighbors: smallest Hamming distance
+    n = good_nn.shape[1]
+    big = 10_000
+    d = jnp.where(good_nn, dist_nn, big)
+    win = jnp.argmin(d, axis=0)                         # (N,)
+    cols = jnp.arange(n)
+    good = good_nn[win, cols]
+    X = X_nn[win, cols]
+    idx = idx_nn[win, cols]
+    kf2 = neighbors[win]
+
+    C1 = triangulate.camera_center(m.kf_pose[kf1])
+    oct1 = m.kf_octave[kf1]
+    sf1 = scale_factors[jnp.clip(oct1, 0, scale_factors.shape[0] - 1)]
+    d1 = jnp.linalg.norm(X - C1, axis=1)
+    normal = (X - C1) / jnp.maximum(
+        jnp.linalg.norm(X - C1, axis=1, keepdims=True), 1e-9
+    )
     L = scale_factors.shape[0]
     max_dist = d1 * sf1
     min_dist = max_dist / scale_factors[L - 1]
@@ -150,7 +197,7 @@ def triangulate_with_neighbor(
         max_dist=max_dist,
         kf1=jnp.full(n, kf1, jnp.int32),
         feat1=jnp.arange(n, dtype=jnp.int32),
-        kf2=jnp.full(n, kf2, jnp.int32),
+        kf2=jnp.where(good, kf2, -1),
         feat2=jnp.maximum(idx, 0),
         valid=good,
     )
@@ -163,6 +210,177 @@ def _project_point(K, Tcw, Xw):
     u = K[0, 0] * Pc[..., 0] / z + K[0, 2]
     v = K[1, 1] * Pc[..., 1] / z + K[1, 2]
     return jnp.stack([u, v], axis=-1)
+
+
+def _fuse_points_into_kf(
+    m: SlamMap,
+    pts_mask: jnp.ndarray,    # (M,) candidate points to project
+    dst,
+    K: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    inv_sigma2_by_oct: jnp.ndarray,
+    cfg: SlamConfig,
+    max_points: int,
+) -> SlamMap:
+    """ORBmatcher::Fuse (jni/ORB_SLAM2/src/ORBmatcher.cc:829-979): project
+    candidate map points into keyframe `dst`; a match against a feature that
+    already owns a different map point merges the two keeping the
+    more-observed one (MapPoint::Replace, src/MapPoint.cc:183-221); a match
+    against a free feature adds an observation."""
+    from ..slam_map.point_stats import predict_octave
+
+    L = scale_factors.shape[0]
+    # candidate selection (cap for fixed shapes; prefer well-observed points)
+    already_here = jnp.any(m.mp_obs_kf == dst, axis=1)
+    cand = pts_mask & m.mp_valid & ~already_here
+    sel_score = jnp.where(cand, m.mp_n_obs, -1)
+    vals, pid = jax.lax.top_k(sel_score, min(max_points, m.max_mp))
+    p_ok = vals >= 0
+    pid = jnp.maximum(pid, 0)
+
+    Tcw = m.kf_pose[dst]
+    X = m.mp_pos[pid]
+    Pc = se3.apply(Tcw, X)
+    z = Pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = K[0, 0] * Pc[:, 0] / zs + K[0, 2]
+    v = K[1, 1] * Pc[:, 1] / zs + K[1, 2]
+    C = triangulate.camera_center(Tcw)
+    ray = X - C
+    dist3 = jnp.linalg.norm(ray, axis=1)
+    viewcos = jnp.sum(ray * m.mp_normal[pid], axis=1) / jnp.maximum(dist3, 1e-9)
+    p_ok = (
+        p_ok & (z > 0) & (viewcos > 0.5)
+        & (dist3 >= 0.8 * m.mp_min_dist[pid])
+        & (dist3 <= 1.2 * m.mp_max_dist[pid])
+        & (u >= 0) & (u < 2.0 * K[0, 2]) & (v >= 0) & (v < 2.0 * K[1, 2])
+    )
+    pred_oct = predict_octave(dist3, m.mp_max_dist[pid], scale_factors[1], L)
+
+    # pairwise gates: window 3*scale(predicted level) (ORBmatcher.cc:868),
+    # level in [pred-1, pred], chi2 5.99 * sigma2(feature octave)
+    xy = m.kf_xy[dst]
+    du = xy[None, :, 0] - u[:, None]
+    dv = xy[None, :, 1] - v[:, None]
+    win = 3.0 * scale_factors[jnp.clip(pred_oct, 0, L - 1)]
+    in_win = (jnp.abs(du) < win[:, None]) & (jnp.abs(dv) < win[:, None])
+    octf = m.kf_octave[dst]
+    lvl_ok = (octf[None, :] >= (pred_oct - 1)[:, None]) & (
+        octf[None, :] <= pred_oct[:, None]
+    )
+    chi2 = (du * du + dv * dv) * inv_sigma2_by_oct[
+        jnp.clip(octf, 0, L - 1)
+    ][None, :]
+    pair = in_win & lvl_ok & (chi2 <= cfg.mapping.chi2_mono)
+
+    dist = hamming.masked_distance_matrix(
+        m.mp_desc[pid], m.kf_desc[dst], p_ok, m.kf_feat_valid[dst], pair
+    )
+    fidx, best, _ = hamming.best_and_second(dist)
+    ok = (best <= cfg.matcher.th_low) & p_ok
+    ok = ok & matcher._column_unique_best(fidx, best, ok, m.n_feat)
+
+    f = jnp.maximum(fidx, 0)
+    q = m.kf_obs[dst, f]                   # existing point at that feature
+    p = pid
+
+    # --- add observations on free features --------------------------------
+    add = ok & (q < 0)
+    kf_obs_dst = m.kf_obs[dst].at[jnp.where(add, f, m.n_feat)].set(
+        jnp.where(add, p, -1), mode="drop"
+    )
+    m = m.replace(kf_obs=m.kf_obs.at[dst].set(kf_obs_dst))
+    n_obs = m.mp_n_obs.at[jnp.where(add, p, m.max_mp)].add(1, mode="drop")
+
+    # --- merge duplicates (MapPoint::Replace) ------------------------------
+    merge = ok & (q >= 0) & (q != p) & m.mp_valid[jnp.maximum(q, 0)]
+    qs = jnp.maximum(q, 0)
+    p_wins = n_obs[p] >= n_obs[qs]
+    winner = jnp.where(p_wins, p, qs)
+    loser = jnp.where(p_wins, qs, p)
+    Mx = m.max_mp
+    r = jnp.arange(Mx, dtype=jnp.int32).at[
+        jnp.where(merge, loser, Mx)
+    ].set(jnp.where(merge, winner, -1), mode="drop")
+    r = r[r]  # resolve 2-chains within the batch
+    kf_obs = jnp.where(m.kf_obs >= 0, r[jnp.maximum(m.kf_obs, 0)], m.kf_obs)
+    mp_valid = m.mp_valid.at[jnp.where(merge, loser, Mx)].set(
+        False, mode="drop"
+    )
+    # Replace merges the found/visible counters (MapPoint.cc:183-221)
+    lw = jnp.where(merge, winner, Mx)
+    lf = jnp.where(merge, m.mp_found[loser], 0)
+    lv = jnp.where(merge, m.mp_visible[loser], 0)
+    ln = jnp.where(merge, n_obs[loser], 0)
+    return m.replace(
+        kf_obs=kf_obs,
+        mp_valid=mp_valid,
+        mp_found=m.mp_found.at[lw].add(lf, mode="drop"),
+        mp_visible=m.mp_visible.at[lw].add(lv, mode="drop"),
+        mp_n_obs=n_obs.at[lw].add(ln, mode="drop"),
+    )
+
+
+def fuse_in_neighbors(
+    m: SlamMap,
+    kf1,
+    neighbors: jnp.ndarray,
+    neigh_ok: jnp.ndarray,
+    K: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    cfg: SlamConfig,
+) -> SlamMap:
+    """LocalMapping::SearchInNeighbors (src/LocalMapping.cc:507-588): fuse
+    the new keyframe's points into its 1st+2nd covisibility neighbors
+    (sequentially, via lax.scan — matching the reference's in-order
+    duplicate resolution), then fuse the union of the neighbors' points back
+    into the new keyframe, and rebuild the observation lists."""
+    inv_s2 = 1.0 / sigma2
+    W = covisibility_matrix(m)
+    # second neighbors: top-5 covisible of each first neighbor
+    # (LocalMapping.cc:522-534)
+    sec_vals, sec_idx = jax.lax.top_k(
+        W[jnp.maximum(neighbors, 0)], min(5, m.max_kf)
+    )
+    targets = jnp.concatenate([neighbors, sec_idx.reshape(-1)])
+    t_ok = jnp.concatenate(
+        [neigh_ok, (sec_vals > 0).reshape(-1) & jnp.repeat(neigh_ok, sec_vals.shape[1])]
+    )
+    t_ok = t_ok & (targets != kf1) & m.kf_valid[jnp.maximum(targets, 0)]
+    # deduplicate targets (keep first occurrence)
+    tt = jnp.where(t_ok, targets, -1)
+    first_hit = jnp.full(m.max_kf + 1, tt.shape[0], jnp.int32).at[
+        jnp.where(t_ok, targets, m.max_kf)
+    ].min(jnp.arange(tt.shape[0], dtype=jnp.int32), mode="drop")
+    t_ok = t_ok & (first_hit[jnp.maximum(tt, 0)] == jnp.arange(tt.shape[0]))
+
+    def step(m, tv):
+        t, ok = tv
+        src = jnp.zeros(m.max_mp, bool).at[
+            jnp.where(m.kf_obs[kf1] >= 0, jnp.maximum(m.kf_obs[kf1], 0), m.max_mp)
+        ].set(True, mode="drop")
+        m2 = _fuse_points_into_kf(
+            m, src, t, K, scale_factors, inv_s2, cfg, max_points=m.n_feat
+        )
+        m = jax.tree.map(lambda a, b: jnp.where(ok, a, b), m2, m)
+        return m, None
+
+    m, _ = jax.lax.scan(step, m, (jnp.maximum(targets, 0), t_ok))
+
+    # reverse direction: candidates = union of target keyframes' points
+    tmask = jnp.zeros(m.max_kf, bool).at[
+        jnp.where(t_ok, targets, m.max_kf)
+    ].set(True, mode="drop")
+    flat = jnp.where(tmask[:, None], m.kf_obs, -1).reshape(-1)
+    cand = jnp.zeros(m.max_mp, bool).at[
+        jnp.where(flat >= 0, flat, m.max_mp)
+    ].set(True, mode="drop")
+    m = _fuse_points_into_kf(
+        m, cand, kf1, K, scale_factors, inv_s2, cfg,
+        max_points=cfg.capacity.local_ba_points,
+    )
+    return mt.rebuild_observation_lists(m)
 
 
 def cull_map_points(m: SlamMap, current_kf, cfg: SlamConfig) -> SlamMap:
@@ -268,26 +486,32 @@ def mapping_step(
     sigma2: jnp.ndarray,
     inv_sigma2: jnp.ndarray,
     cfg: SlamConfig,
-    n_neighbors: int = 4,
+    n_neighbors: int | None = None,
     run_ba: bool = True,
     run_culling: bool = True,
 ) -> SlamMap:
     """One full local-mapping pass for a freshly inserted keyframe
     (the body of LocalMapping::Run, src/LocalMapping.cc:50-118):
     point culling -> triangulation with top covisible neighbors ->
-    statistics refresh -> local BA -> keyframe culling."""
+    cross-neighbor fuse -> statistics refresh -> local BA -> keyframe
+    culling. Pure function of the map; jit-compiled by the pipeline
+    (tracking/system.py) with cfg static."""
     from ..optim.ba_extract import extract_local_ba, write_back_ba
     from ..optim.local_ba import solve_ba
+
+    if n_neighbors is None:
+        n_neighbors = cfg.mapping.triangulation_neighbors
 
     if run_culling:
         m = cull_map_points(m, new_kf, cfg)
 
     W = covisibility_matrix(m)
-    vals, idx = jax.lax.top_k(W[new_kf], n_neighbors)
-    for i in range(n_neighbors):
-        neigh_ok = vals[i] > 0
-        neigh = jnp.where(neigh_ok, idx[i], new_kf)  # self-pair yields nothing
-        m = triangulate_with_neighbor(m, new_kf, neigh, K, scale_factors, sigma2, cfg)
+    vals, idx = jax.lax.top_k(W[new_kf], min(n_neighbors, m.max_kf))
+    m = triangulate_with_neighbors(
+        m, new_kf, idx, vals > 0, K, scale_factors, sigma2, cfg
+    )
+
+    m = fuse_in_neighbors(m, new_kf, idx, vals > 0, K, scale_factors, sigma2, cfg)
 
     m = refresh_point_stats(m, scale_factors)
 

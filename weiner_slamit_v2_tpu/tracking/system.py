@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,6 +27,15 @@ from ..io import trajectory as traj_io
 from .local_mapping import mapping_step
 from .tracker import Tracker, TrackerOutput
 
+# The whole local-mapping pass is ONE jit program per (cfg, n_neighbors):
+# on the tunneled TPU platform every eager op dispatch costs ~20 ms and
+# every distinct eager op a remote compile, so a per-keyframe eager
+# mapping pass would cost seconds (PLATFORM.md §1-2).
+_mapping_step_jit = jax.jit(
+    mapping_step,
+    static_argnames=("cfg", "n_neighbors", "run_ba", "run_culling"),
+)
+
 
 class System:
     def __init__(
@@ -34,7 +44,7 @@ class System:
         camera: Optional[Camera] = None,
         enable_mapping: bool = True,
         enable_loop_closing: bool = False,
-        mapping_neighbors: int = 4,
+        mapping_neighbors: int | None = None,
     ):
         self.cfg = cfg or SlamConfig()
         cc = self.cfg.camera
@@ -45,7 +55,12 @@ class System:
         self.tracker = Tracker(self.cfg, self.camera)
         self.enable_mapping = enable_mapping
         self.enable_loop_closing = enable_loop_closing
-        self.mapping_neighbors = mapping_neighbors
+        # nn=20 covisible neighbors for triangulation (LocalMapping.cc:224)
+        self.mapping_neighbors = (
+            mapping_neighbors
+            if mapping_neighbors is not None
+            else self.cfg.mapping.triangulation_neighbors
+        )
         self.loop_closer = None
         if enable_loop_closing:
             from .loop_closing import LoopCloser
@@ -60,7 +75,7 @@ class System:
         if self.localization_only:
             return
         t = self.tracker
-        t.m = mapping_step(
+        t.m = _mapping_step_jit(
             t.m, jnp.asarray(kf_id), t.K, t.scale_factors, t.sigma2,
             t.inv_sigma2, self.cfg, n_neighbors=self.mapping_neighbors,
         )

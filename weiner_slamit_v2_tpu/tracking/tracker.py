@@ -1,19 +1,26 @@
 """Per-frame tracking: the state machine of the SLAM front end.
 
 TPU-native replacement for ``Tracking`` (jni/ORB_SLAM2/src/Tracking.cc).
-States NOT_INITIALIZED / OK / LOST mirror include/Tracking.h:88-94. Each
-per-frame step (projection matching, pose optimization, local-map tracking)
-is a jitted batched program; only the small state-machine decisions run in
-Python on pulled scalars — the analogue of the reference's per-frame logic,
-minus the threads and mutexes.
+States NOT_INITIALIZED / OK / LOST mirror include/Tracking.h:88-94.
+
+The whole per-frame cascade — constant-velocity projection matching, the 2x
+window widening retry, the reference-keyframe fallback (Tracking.cc:431-453),
+both motion-only pose optimizations, local-map tracking, the point counters,
+and the NeedNewKeyFrame statistics — is ONE jitted program
+(:func:`_track_step`) that returns a single packed scalar vector. The host
+performs exactly one device->host synchronization per tracked frame (on this
+platform every sync costs a full tunnel round trip — PLATFORM.md §1); all
+state-machine decisions are made from that one fetch. Rare paths
+(initialization, relocalization) stay in Python.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Optional
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,21 +43,62 @@ OK = "OK"
 LOST = "LOST"
 
 
-@partial(jax.jit, static_argnames=("n_levels",))
+@flax.struct.dataclass
+class TrackParams:
+    """Per-frame tracking thresholds as device scalars (traced, so changing
+    them — e.g. the post-relocalization search window — never recompiles).
+    Values come from config.py, which carries the reference citations."""
+
+    motion_window: jnp.ndarray      # px (Tracking.cc:1108)
+    min_matches_motion: jnp.ndarray
+    min_matches_refkf: jnp.ndarray
+    min_inliers_motion: jnp.ndarray
+    nn_ratio_motion: jnp.ndarray
+    nn_ratio_refkf: jnp.ndarray
+    nn_ratio_localmap: jnp.ndarray
+    th_low: jnp.ndarray
+    th_high: jnp.ndarray
+    local_th: jnp.ndarray           # local-map window multiplier (1 / 5 after reloc)
+    lm_lambda: jnp.ndarray          # pose-LM initial damping
+
+    @staticmethod
+    def from_config(cfg: SlamConfig) -> "TrackParams":
+        t, mc, o = cfg.tracking, cfg.matcher, cfg.optim
+        f32 = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
+        i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+        return TrackParams(
+            motion_window=f32(t.motion_search_window),
+            min_matches_motion=i32(t.min_matches_motion),
+            min_matches_refkf=i32(t.min_matches_refkf),
+            min_inliers_motion=i32(t.min_inliers_motion),
+            nn_ratio_motion=f32(mc.nn_ratio_motion),
+            nn_ratio_refkf=f32(mc.nn_ratio_refkf),
+            nn_ratio_localmap=f32(mc.nn_ratio_localmap),
+            th_low=i32(mc.th_low),
+            th_high=i32(mc.th_high),
+            local_th=f32(1.0),
+            lm_lambda=f32(o.lm_lambda_init),
+        )
+
+
 def _track_last_frame(
     m: SlamMap,
     feats: FrameFeatures,
     last_obs: jnp.ndarray,      # (N,) mp ids of last frame's features
     last_octave: jnp.ndarray,   # (N,)
+    last_angle: jnp.ndarray,    # (N,) keypoint angles of the last frame
     Tcw_pred: jnp.ndarray,
     K: jnp.ndarray,
     window: jnp.ndarray,
     scale_factors: jnp.ndarray,
     n_levels: int,
+    nn_ratio: jnp.ndarray,
+    th_high: jnp.ndarray,
 ):
     """SearchByProjection last->current (ORBmatcher.cc:1332-1474): project
     the last frame's tracked map points with the predicted pose and match
-    against current features in a scale-gated window.
+    against current features in a scale-gated window, with the reference's
+    rotation-histogram consistency filter (mbCheckOrientation).
 
     Returns cur_obs (N,) int32: map-point id per current feature (-1 none).
     """
@@ -71,18 +119,20 @@ def _track_last_frame(
     sf = scale_factors[jnp.clip(last_octave, 0, n_levels - 1)]
     win = window * sf
     idx, dist = matcher.match_with_window(
-        m.mp_desc[mp],
+        jnp.where(has[:, None], m.mp_desc[mp], 0),
         feats.desc,
         has,
         feats.valid,
         pred_xy=pred,
         xy2=feats.xy_und,
         window=win,
-        max_dist=matcher.TH_HIGH,
-        nn_ratio=0.9,
+        max_dist=th_high,
+        nn_ratio=nn_ratio,
         octave2=feats.octave,
         octave_lo=jnp.clip(last_octave - 1, 0, n_levels - 1),
         octave_hi=jnp.clip(last_octave + 1, 0, n_levels - 1),
+        angle1=last_angle,
+        angle2=feats.angle,
     )
     n = feats.xy.shape[0]
     cur_obs = jnp.full((n,), -1, jnp.int32)
@@ -93,7 +143,31 @@ def _track_last_frame(
     return cur_obs, ok.sum()
 
 
-@partial(jax.jit, static_argnames=("n_levels", "max_local_points", "local_kf_cap"))
+def _match_reference_kf(
+    m: SlamMap,
+    feats: FrameFeatures,
+    ref_kf: jnp.ndarray,
+    nn_ratio: jnp.ndarray,
+    th_low: jnp.ndarray,
+):
+    """TrackReferenceKeyFrame's matching stage (src/Tracking.cc:977-1024):
+    descriptor matching (the reference brute-forces within shared BoW nodes;
+    the full masked matrix is cheaper on TPU) against the reference
+    keyframe's map-point features, rotation-checked."""
+    ref_has = (m.kf_obs[ref_kf] >= 0) & m.kf_feat_valid[ref_kf]
+    idx, dist = matcher.match_by_descriptor(
+        m.kf_desc[ref_kf], feats.desc, ref_has, feats.valid,
+        max_dist=th_low, nn_ratio=nn_ratio,
+        angle1=m.kf_angle[ref_kf], angle2=feats.angle,
+    )
+    n = feats.n
+    ok = idx >= 0
+    cur_obs = jnp.full((n,), -1, jnp.int32).at[
+        jnp.where(ok, idx, n)
+    ].set(jnp.where(ok, m.kf_obs[ref_kf], -1), mode="drop")
+    return cur_obs, ok.sum()
+
+
 def _track_local_map(
     m: SlamMap,
     feats: FrameFeatures,
@@ -103,6 +177,8 @@ def _track_local_map(
     scale_factors: jnp.ndarray,
     th: jnp.ndarray,
     n_levels: int,
+    nn_ratio: jnp.ndarray,
+    th_high: jnp.ndarray,
     max_local_points: int = 4096,
     local_kf_cap: int = 80,
 ):
@@ -181,8 +257,8 @@ def _track_local_map(
         pred_xy=jnp.stack([u[pid_s], v[pid_s]], axis=1),
         xy2=feats.xy_und,
         window=win,
-        max_dist=matcher.TH_HIGH,
-        nn_ratio=0.8,
+        max_dist=th_high,
+        nn_ratio=nn_ratio,
         octave2=feats.octave,
         octave_lo=jnp.clip(pred_oct - 1, 0, n_levels - 1),
         octave_hi=jnp.clip(pred_oct, 0, n_levels - 1),
@@ -198,7 +274,6 @@ def _track_local_map(
     return cur_obs, visible
 
 
-@jax.jit
 def _pose_opt_on_obs(
     m: SlamMap,
     feats: FrameFeatures,
@@ -206,20 +281,24 @@ def _pose_opt_on_obs(
     Tcw0: jnp.ndarray,
     K: jnp.ndarray,
     inv_sigma2: jnp.ndarray,
+    n_rounds: int = 4,
+    n_iters: int = 10,
+    lm_lambda: jnp.ndarray | float = 1e-3,
 ):
-    """Motion-only optimization over the frame's current map-point matches."""
+    """Motion-only optimization over the frame's current map-point matches
+    (Optimizer::PoseOptimization, src/Optimizer.cc:239-451)."""
     has = (cur_obs >= 0) & m.mp_valid[jnp.maximum(cur_obs, 0)] & feats.valid
     mp = jnp.maximum(cur_obs, 0)
     X = m.mp_pos[mp]
     w = inv_sigma2[jnp.clip(feats.octave, 0, inv_sigma2.shape[0] - 1)]
     Tcw, inl, n_inl = optimize_pose(
-        Tcw0, X, feats.xy_und, w, has, K
+        Tcw0, X, feats.xy_und, w, has, K,
+        n_rounds=n_rounds, n_iters=n_iters, lambda_init=lm_lambda,
     )
     cur_obs = jnp.where(inl | ~has, cur_obs, -1)
     return Tcw, cur_obs, n_inl
 
 
-@jax.jit
 def _update_point_counters(m: SlamMap, visible, cur_obs):
     """IncreaseVisible / IncreaseFound counters (Tracking.cc:1409-1447)."""
     found = jnp.zeros(m.max_mp, bool).at[
@@ -231,10 +310,300 @@ def _update_point_counters(m: SlamMap, visible, cur_obs):
     )
 
 
+# Packed scalar layout returned by _track_step: the ONE per-frame fetch.
+S_N_MATCHES = 0
+S_USED_REF = 1
+S_N_INL1 = 2
+S_N_INL2 = 3
+S_OK1 = 4
+S_N_REF = 5
+S_N_KF = 6
+N_SCALARS = 7
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_levels", "max_local_points", "local_kf_cap",
+        "pose_rounds", "pose_iters",
+    ),
+)
+def _track_step(
+    m: SlamMap,
+    feats: FrameFeatures,
+    last_obs: jnp.ndarray,
+    last_octave: jnp.ndarray,
+    last_angle: jnp.ndarray,
+    has_velocity: jnp.ndarray,
+    velocity: jnp.ndarray,
+    last_Tcw: jnp.ndarray,
+    ref_kf: jnp.ndarray,
+    K: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    p: TrackParams,
+    n_levels: int,
+    max_local_points: int,
+    local_kf_cap: int,
+    pose_rounds: int,
+    pose_iters: int,
+):
+    """One fused tracking step (Tracking::Track, src/Tracking.cc:385-694,
+    OK-state branch). Returns (map-with-updated-counters, Tcw, cur_obs,
+    new velocity, packed scalars) — the scalars are the only thing the host
+    needs to read back."""
+    Tcw_pred = jnp.where(has_velocity, velocity @ last_Tcw, last_Tcw)
+
+    def motion(window):
+        return _track_last_frame(
+            m, feats, last_obs, last_octave, last_angle, Tcw_pred, K,
+            window, scale_factors, n_levels, p.nn_ratio_motion, p.th_high,
+        )
+
+    obs_a, n_a = motion(p.motion_window)
+    # widen the window 2x on failure (Tracking.cc:1108-1121)
+    obs_b, n_b = jax.lax.cond(
+        n_a < p.min_matches_motion,
+        lambda: motion(2.0 * p.motion_window),
+        lambda: (obs_a, n_a),
+    )
+    # TrackReferenceKeyFrame fallback (Tracking.cc:449)
+    need_ref = n_b < p.min_matches_motion
+    obs_c, n_c = jax.lax.cond(
+        need_ref,
+        lambda: _match_reference_kf(m, feats, ref_kf, p.nn_ratio_refkf, p.th_low),
+        lambda: (obs_b, n_b),
+    )
+    Tcw0 = jnp.where(need_ref, last_Tcw, Tcw_pred)
+    min_required = jnp.where(
+        need_ref, p.min_matches_refkf, p.min_matches_motion
+    )
+    enough = n_c >= min_required
+
+    Tcw1, obs_d, n_i1 = _pose_opt_on_obs(
+        m, feats, obs_c, Tcw0, K, inv_sigma2, pose_rounds, pose_iters,
+        p.lm_lambda,
+    )
+    ok1 = enough & (n_i1 >= p.min_inliers_motion)
+
+    # TrackLocalMap (Tracking.cc:1163-1207)
+    obs_e, visible = _track_local_map(
+        m, feats, obs_d, Tcw1, K, scale_factors, p.local_th, n_levels,
+        p.nn_ratio_localmap, p.th_high,
+        max_local_points=max_local_points, local_kf_cap=local_kf_cap,
+    )
+    Tcw2, obs_f, n_i2 = _pose_opt_on_obs(
+        m, feats, obs_e, Tcw1, K, inv_sigma2, pose_rounds, pose_iters,
+        p.lm_lambda,
+    )
+
+    m_cnt = _update_point_counters(m, visible, obs_f)
+    # counters only advance when the pre-local-map stages succeeded (the
+    # reference never reaches TrackLocalMap otherwise)
+    m2 = m.replace(
+        mp_visible=jnp.where(ok1, m_cnt.mp_visible, m.mp_visible),
+        mp_found=jnp.where(ok1, m_cnt.mp_found, m.mp_found),
+    )
+
+    # NeedNewKeyFrame statistics (Tracking.cc:1210-1310): tracked points of
+    # the reference KF with >= minObs observations
+    n_kf_valid = m.kf_valid.sum().astype(jnp.int32)
+    min_obs = jnp.where(n_kf_valid > 2, 3, 2)
+    robs = m.kf_obs[ref_kf]
+    rmp = jnp.maximum(robs, 0)
+    rhas = (robs >= 0) & m.kf_feat_valid[ref_kf] & m.mp_valid[rmp]
+    n_ref = jnp.sum(rhas & (m.mp_n_obs[rmp] >= min_obs)).astype(jnp.int32)
+
+    vel_new = Tcw2 @ se3.inv(last_Tcw)
+    scalars = jnp.stack(
+        [
+            n_c.astype(jnp.int32),
+            need_ref.astype(jnp.int32),
+            n_i1.astype(jnp.int32),
+            n_i2.astype(jnp.int32),
+            ok1.astype(jnp.int32),
+            n_ref,
+            n_kf_valid,
+        ]
+    )
+    return m2, Tcw2, obs_f, vel_new, scalars
+
+
+@jax.jit
+def _freeze_kf(m, Tcw, feats, cur_obs, frame_id, ts, parent):
+    """Freeze a tracked frame into a keyframe (Tracking::CreateNewKeyFrame,
+    src/Tracking.cc:1312) — one jit dispatch instead of eager map surgery."""
+    return mt.add_keyframe(
+        m, Tcw, feats.xy_und, feats.octave, feats.angle, feats.desc,
+        feats.valid, cur_obs, frame_id, ts, parent,
+    )
+
+
+@jax.jit
+def _freeze_kf_depth(
+    m, Tcw, feats, cur_obs, frame_id, ts, parent, depth, camera,
+    depth_threshold, scale_factors,
+):
+    """Keyframe freeze + close-point creation from depth
+    (src/Tracking.cc:1340-1395)."""
+    m, kf_id = mt.add_keyframe(
+        m, Tcw, feats.xy_und, feats.octave, feats.angle, feats.desc,
+        feats.valid, cur_obs, frame_id, ts, parent,
+    )
+    kf = jnp.maximum(kf_id, 0)
+    N = feats.n
+    free = feats.valid & (m.kf_obs[kf] < 0) & (depth > 0) & (kf_id >= 0)
+    close = depth < depth_threshold
+    Xc = camera.unproject(feats.xy_und, depth)
+    Xw = se3.apply(se3.inv(Tcw), Xc)
+    m, _ = mt.add_map_points(
+        m,
+        pos=Xw,
+        desc=feats.desc,
+        normal=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (N, 1)),
+        min_dist=jnp.full(N, 0.1),
+        max_dist=jnp.full(N, 100.0),
+        kf1=jnp.full(N, 0, jnp.int32) + kf,
+        feat1=jnp.arange(N, dtype=jnp.int32),
+        kf2=jnp.full(N, -1, jnp.int32),
+        feat2=jnp.zeros(N, jnp.int32),
+        valid=free & close,
+    )
+    m = refresh_point_stats(m, scale_factors)
+    return m, kf_id
+
+
+@partial(jax.jit, static_argnames=("n_out",))
+def _build_initial_map(
+    m, feats1, feats2, idx, good, pts, Tcw2, fid1, ts1, fid2, ts2,
+    K, inv_sigma2, scale_factors, n_out,
+):
+    """CreateInitialMapMonocular (src/Tracking.cc:852-957) as one program:
+    truncate the 2x init feature budget back to the map capacity (keeping
+    every triangulated match first), median-depth rescale, run the
+    two-camera init BA, then freeze both keyframes and insert the optimized
+    points. The BA problem is built directly at (2, n_out) shapes — the
+    generic global extractor would compile at full map capacity
+    (max_kf x max_mp), gigabytes of Schur blocks for a 2-camera solve."""
+    from ..optim.local_ba import BAProblem, solve_ba
+
+    n_big = feats1.n
+
+    def top_rows(f, keep):
+        key = (
+            keep.astype(jnp.float32) * 1e9
+            + f.valid.astype(jnp.float32) * 1e6
+            + f.response
+        )
+        _, sel = jax.lax.top_k(key, n_out)
+        return sel
+
+    sel1 = top_rows(feats1, good)
+    matched_cols = jnp.zeros(n_big, bool).at[
+        jnp.where(good, jnp.maximum(idx, 0), n_big)
+    ].set(True, mode="drop")
+    sel2 = top_rows(feats2, matched_cols)
+    f1 = jax.tree.map(lambda a: a[sel1], feats1)
+    f2 = jax.tree.map(lambda a: a[sel2], feats2)
+    inv2 = jnp.full(n_big, -1, jnp.int32).at[sel2].set(
+        jnp.arange(n_out, dtype=jnp.int32)
+    )
+    idx_n = jnp.where(good[sel1], inv2[jnp.maximum(idx[sel1], 0)], -1)
+    good_n = good[sel1] & (idx_n >= 0)
+    pts_n = pts[sel1]
+
+    # median-depth normalization (Tracking.cc:901-930)
+    med = jnp.nanmedian(jnp.where(good_n, pts_n[:, 2], jnp.nan))
+    med = jnp.where(jnp.isnan(med) | (med <= 1e-6), 1.0, med)
+    pts_n = pts_n / med
+    Tcw2 = Tcw2.at[:3, 3].set(Tcw2[:3, 3] / med)
+
+    # init BA (GlobalBundleAdjustemnt(map, 20) — Tracking.cc:894) on the
+    # two-camera problem; gauge fixed at camera 0
+    eye = jnp.eye(4)
+    L = inv_sigma2.shape[0]
+    w1 = inv_sigma2[jnp.clip(f1.octave, 0, L - 1)]
+    w2 = inv_sigma2[jnp.clip(f2.octave[jnp.maximum(idx_n, 0)], 0, L - 1)]
+    prob = BAProblem(
+        cam_pose=jnp.stack([eye, Tcw2]),
+        cam_fixed=jnp.asarray([True, False]),
+        cam_valid=jnp.asarray([True, True]),
+        points=pts_n,
+        point_valid=good_n,
+        obs_cam=jnp.where(
+            good_n[:, None], jnp.asarray([0, 1], jnp.int32)[None, :], -1
+        ),
+        obs_uv=jnp.stack(
+            [f1.xy_und, f2.xy_und[jnp.maximum(idx_n, 0)]], axis=1
+        ),
+        obs_inv_sigma2=jnp.stack([w1, w2], axis=1),
+        obs_valid=good_n[:, None] & jnp.asarray([True, True])[None, :],
+        K=K,
+    )
+    ba = solve_ba(prob, 5, 15)
+    Tcw2 = ba.cam_pose[1]
+    pts_n = ba.points
+    # a point losing either observation dies (nObs <= 2 rule applied at birth)
+    good_n = good_n & jnp.all(ba.obs_inlier | ~prob.obs_valid, axis=1)
+
+    m, kf0 = mt.add_keyframe(
+        m, eye, f1.xy_und, f1.octave, f1.angle, f1.desc, f1.valid,
+        jnp.full(n_out, -1, jnp.int32), fid1, ts1, jnp.asarray(-1),
+    )
+    m, kf1 = mt.add_keyframe(
+        m, Tcw2, f2.xy_und, f2.octave, f2.angle, f2.desc, f2.valid,
+        jnp.full(n_out, -1, jnp.int32), fid2, ts2, kf0,
+    )
+    m, _ = mt.add_map_points(
+        m,
+        pos=pts_n,
+        desc=f1.desc,
+        normal=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n_out, 1)),
+        min_dist=jnp.full(n_out, 0.1),
+        max_dist=jnp.full(n_out, 100.0),
+        kf1=jnp.zeros(n_out, jnp.int32) + kf0,
+        feat1=jnp.arange(n_out, dtype=jnp.int32),
+        kf2=jnp.zeros(n_out, jnp.int32) + kf1,
+        feat2=jnp.maximum(idx_n, 0),
+        valid=good_n,
+    )
+    m = refresh_point_stats(m, scale_factors)
+    return m, f2
+
+
+@jax.jit
+def _build_depth_init(m, feats, feat_depth, camera, frame_id, ts, scale_factors):
+    """Stereo/RGB-D initialization (Tracking::StereoInitialization,
+    src/Tracking.cc:700-748) as one program."""
+    N = feats.n
+    m, kf0 = mt.add_keyframe(
+        m, jnp.eye(4), feats.xy_und, feats.octave, feats.angle,
+        feats.desc, feats.valid, jnp.full(N, -1, jnp.int32),
+        frame_id, ts, jnp.asarray(-1),
+    )
+    has_d = feats.valid & (feat_depth > 0)
+    X = camera.unproject(feats.xy_und, feat_depth)
+    m, ids = mt.add_map_points(
+        m,
+        pos=X,
+        desc=feats.desc,
+        normal=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (N, 1)),
+        min_dist=jnp.full(N, 0.1),
+        max_dist=jnp.full(N, 100.0),
+        kf1=jnp.zeros(N, jnp.int32) + kf0,
+        feat1=jnp.arange(N, dtype=jnp.int32),
+        kf2=jnp.full(N, -1, jnp.int32),
+        feat2=jnp.zeros(N, jnp.int32),
+        valid=has_d,
+    )
+    m = refresh_point_stats(m, scale_factors)
+    return m, has_d.sum()
+
+
 @dataclass
 class TrackerOutput:
     state: str
-    Tcw: np.ndarray | None
+    Tcw: np.ndarray | jax.Array | None
     n_inliers: int
     created_kf: bool
 
@@ -247,12 +616,44 @@ class Tracker:
         self.camera = camera
         hw = (camera.height, camera.width)
         self.extractor = OrbExtractor(cfg.orb, hw)
+        # 2x feature budget during monocular initialization (Tracking.cc:162)
+        init_cfg = cfg.orb.__class__(
+            **{
+                **cfg.orb.__dict__,
+                "n_features": cfg.orb.n_features * cfg.orb.init_features_mult,
+            }
+        )
+        self.init_extractor = (
+            OrbExtractor(init_cfg, hw)
+            if cfg.orb.init_features_mult > 1
+            else self.extractor
+        )
         self.K = jnp.asarray(np.asarray(camera.K), jnp.float32)
         self.scale_factors = jnp.asarray(self.extractor.scales)
         self.sigma2 = jnp.asarray(self.extractor.sigma2)
         self.inv_sigma2 = jnp.asarray(self.extractor.inv_sigma2)
+        self.params = TrackParams.from_config(cfg)
+        self._eye4 = jnp.eye(4)
+
+        # extract + undistort fused into one jit dispatch per frame
+        def make_extract(ex):
+            def f(img):
+                feats = ex._extract_impl(img)
+                return feats.replace(xy_und=camera.undistort_points(feats.xy))
+
+            return jax.jit(f)
+
+        self._extract_track = make_extract(self.extractor)
+        self._extract_init = (
+            make_extract(self.init_extractor)
+            if self.init_extractor is not self.extractor
+            else self._extract_track
+        )
 
         self.m = mt.empty_map(cfg.capacity, cfg.orb.n_features)
+        # host mirror of the allocated-keyframe counter (slot ids are never
+        # reused, so this avoids a device fetch per keyframe decision)
+        self.n_kf_host = 0
         self.state = NO_IMAGES_YET
         self.frame_id = -1
         self.last_feats: Optional[FrameFeatures] = None
@@ -261,9 +662,10 @@ class Tracker:
         self.velocity: Optional[jnp.ndarray] = None
         self.ref_kf = 0
         self.last_kf_frame = 0
+        self.last_reloc_frame = -(10**9)
         self.init_feats: Optional[FrameFeatures] = None
         self._cur_depth: Optional[jnp.ndarray] = None
-        self.trajectory: list[tuple[float, np.ndarray]] = []
+        self.trajectory: list[tuple[float, jnp.ndarray]] = []
         self.mapping_hook = None  # set by System: called with (new_kf_id)
         self.allow_keyframes = True  # cleared in localization-only mode
         from ..bow.database import BowIndex
@@ -281,29 +683,37 @@ class Tracker:
         """Track one frame. `depth` (H, W) meters enables the RGB-D path;
         `image_right` enables the stereo path (rectified pair)."""
         self.frame_id += 1
-        feats = self.extractor(jnp.asarray(image, jnp.float32))
-        feats = feats.replace(xy_und=self.camera.undistort_points(feats.xy))
+        initializing = self.state in (NO_IMAGES_YET, NOT_INITIALIZED)
+        mono = depth is None and image_right is None
+        extract = self._extract_init if (initializing and mono) else self._extract_track
+        feats = extract(jnp.asarray(image, jnp.float32))
 
         # per-feature depth for stereo / RGB-D frames
         feat_depth = None
         if depth is not None:
             from ..ops.stereo import depth_from_depthmap
 
-            feat_depth = depth_from_depthmap(feats, jnp.asarray(depth, jnp.float32))
+            if not hasattr(self, "_depth_fn"):
+                self._depth_fn = jax.jit(depth_from_depthmap)
+            feat_depth = self._depth_fn(feats, jnp.asarray(depth, jnp.float32))
         elif image_right is not None:
             from ..ops.stereo import match_stereo
 
-            feats_r = self.extractor(jnp.asarray(image_right, jnp.float32))
+            if not hasattr(self, "_stereo_fn"):
+                self._stereo_fn = jax.jit(
+                    match_stereo, static_argnames=("n_levels",)
+                )
+            feats_r = self._extract_track(jnp.asarray(image_right, jnp.float32))
             bf = jnp.asarray(self.cfg.camera.baseline_times_fx, jnp.float32)
             min_z = bf / jnp.asarray(self.camera.fx)
-            feat_depth, _ = match_stereo(
+            feat_depth, _ = self._stereo_fn(
                 feats, feats_r, jnp.asarray(image, jnp.float32),
                 jnp.asarray(image_right, jnp.float32), bf, min_z,
-                self.scale_factors, self.cfg.orb.n_levels,
+                self.scale_factors, n_levels=self.cfg.orb.n_levels,
             )
         self._cur_depth = feat_depth
 
-        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+        if initializing:
             if feat_depth is not None:
                 out = self._initialize_with_depth(feats, feat_depth, timestamp)
             else:
@@ -325,44 +735,27 @@ class Tracker:
         """Stereo/RGB-D initialization (Tracking::StereoInitialization,
         src/Tracking.cc:700-748): one keyframe, map points unprojected from
         depth — no two-view geometry needed."""
-        cfg = self.cfg
         n_valid = int(feats.valid.sum())
         if n_valid <= 100:  # ref demands N>500 at 2000 feats; scale to budget
             return TrackerOutput(NOT_INITIALIZED, None, 0, False)
 
-        N = feats.n
-        m, kf0 = mt.add_keyframe(
-            self.m, jnp.eye(4), feats.xy_und, feats.octave, feats.angle,
-            feats.desc, feats.valid, jnp.full(N, -1, jnp.int32),
+        m, n_pts = _build_depth_init(
+            self.m, feats, feat_depth, self.camera,
             jnp.asarray(self.frame_id), jnp.asarray(ts, jnp.float32),
-            jnp.asarray(-1),
+            self.scale_factors,
         )
-        has_d = feats.valid & (feat_depth > 0)
-        X = self.camera.unproject(feats.xy_und, feat_depth)
-        m, ids = mt.add_map_points(
-            m,
-            pos=X,
-            desc=feats.desc,
-            normal=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (N, 1)),
-            min_dist=jnp.full(N, 0.1),
-            max_dist=jnp.full(N, 100.0),
-            kf1=jnp.full(N, int(kf0), jnp.int32),
-            feat1=jnp.arange(N, dtype=jnp.int32),
-            kf2=jnp.full(N, -1, jnp.int32),
-            feat2=jnp.zeros(N, jnp.int32),
-            valid=has_d,
-        )
-        m = refresh_point_stats(m, self.scale_factors)
         self.m = m
+        kf0 = 0  # initialization always starts from an empty map
+        self.n_kf_host = 1
         self.last_feats = feats
-        self.last_obs = self.m.kf_obs[int(kf0)]
-        self.last_Tcw = jnp.eye(4)
+        self.last_obs = self.m.kf_obs[kf0]
+        self.last_Tcw = self._eye4
         self.velocity = None
-        self.ref_kf = int(kf0)
+        self.ref_kf = kf0
         self.last_kf_frame = self.frame_id
         self.state = OK
-        self._register_kf_bow(int(kf0))
-        return TrackerOutput(OK, np.eye(4), int(has_d.sum()), True)
+        self._register_kf_bow(kf0)
+        return TrackerOutput(OK, np.eye(4), int(n_pts), True)
 
     # ------------------------------------------------------------------
     def _try_initialize(self, feats: FrameFeatures, ts: float) -> TrackerOutput:
@@ -390,7 +783,6 @@ class Tracker:
             return TrackerOutput(self.state, None, n_matches, False)
 
         # two-view reconstruction on the matched subset (padded)
-        N = feats.n
         ok = idx >= 0
         uv1 = self.init_feats.xy_und
         uv2 = feats.xy_und[jnp.maximum(idx, 0)]
@@ -407,156 +799,100 @@ class Tracker:
             return TrackerOutput(self.state, None, n_matches, False)
 
         self._create_initial_map(feats, idx, res, ts)
+        self._register_kf_bow(0)
+        self._register_kf_bow(1)
         self.state = OK
         return TrackerOutput(
             OK, np.asarray(self.last_Tcw), int(res.n_good), True
         )
 
     def _create_initial_map(self, feats, idx, res, ts):
-        """CreateInitialMapMonocular (src/Tracking.cc:852-957): two
-        keyframes, triangulated points, init BA, median-depth rescale."""
-        cfg = self.cfg
-        good = np.array(res.is_point & (idx >= 0))
-        pts = np.array(res.points)
-        # median-depth normalization
-        depths = pts[good, 2]
-        med = float(np.median(depths)) if good.any() else 1.0
-        med = med if med > 1e-6 else 1.0
-        pts = pts / med
-        Tcw2 = np.array(res.Tcw2)
-        Tcw2[:3, 3] /= med
-
-        N = feats.n
-        idx_np = np.asarray(idx)
-
-        # keyframe 0 (init frame, identity pose)
-        obs0 = np.full(N, -1, np.int32)
-        # keyframe 1 (current); feature j of kf1 = idx[i] for match i
-        obs1 = np.full(N, -1, np.int32)
-
-        m = self.m
-        m, kf0 = mt.add_keyframe(
-            m, jnp.eye(4), self.init_feats.xy_und, self.init_feats.octave,
-            self.init_feats.angle, self.init_feats.desc, self.init_feats.valid,
-            jnp.full(N, -1, jnp.int32), jnp.asarray(self.frame_id - 1),
-            jnp.asarray(self.init_ts, jnp.float32), jnp.asarray(-1),
+        """CreateInitialMapMonocular (src/Tracking.cc:852-957) — one jit
+        dispatch (_build_initial_map)."""
+        good = res.is_point & (idx >= 0)
+        m, f2 = _build_initial_map(
+            self.m, self.init_feats, feats, idx, good, res.points,
+            res.Tcw2, jnp.asarray(self.frame_id - 1),
+            jnp.asarray(self.init_ts, jnp.float32),
+            jnp.asarray(self.frame_id), jnp.asarray(ts, jnp.float32),
+            self.K, self.inv_sigma2, self.scale_factors,
+            n_out=self.cfg.orb.n_features,
         )
-        m, kf1 = mt.add_keyframe(
-            m, jnp.asarray(Tcw2), feats.xy_und, feats.octave,
-            feats.angle, feats.desc, feats.valid,
-            jnp.full(N, -1, jnp.int32), jnp.asarray(self.frame_id),
-            jnp.asarray(ts, jnp.float32), kf0,
-        )
-        m, ids = mt.add_map_points(
-            m,
-            pos=jnp.asarray(pts),
-            desc=self.init_feats.desc,
-            normal=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (N, 1)),
-            min_dist=jnp.full(N, 0.1),
-            max_dist=jnp.full(N, 100.0),
-            kf1=jnp.full(N, int(kf0), jnp.int32),
-            feat1=jnp.arange(N, dtype=jnp.int32),
-            kf2=jnp.full(N, int(kf1), jnp.int32),
-            feat2=jnp.maximum(idx, 0),
-            valid=jnp.asarray(good),
-        )
-        m = refresh_point_stats(m, self.scale_factors)
-
-        # init BA (GlobalBundleAdjustemnt(map, 20) — Tracking.cc:894)
-        from ..optim.ba_extract import extract_global_ba, write_back_ba
-        from ..optim.local_ba import solve_ba
-
-        prob, cam_ids, point_ids = extract_global_ba(m, self.K, self.inv_sigma2)
-        ba = solve_ba(prob, 5, 15)
-        m = write_back_ba(m, ba, prob, cam_ids, point_ids)
-        m = refresh_point_stats(m, self.scale_factors)
         self.m = m
-
-        # tracked obs of the current frame = the kf1 observations
-        cur_obs = np.asarray(self.m.kf_obs[int(kf1)])
-        self.last_feats = feats
-        self.last_obs = jnp.asarray(cur_obs)
-        self.last_Tcw = jnp.asarray(self.m.kf_pose[int(kf1)])
+        kf1 = 1  # initialization always starts from an empty map: kf0=0
+        self.n_kf_host = 2
+        self.last_feats = f2
+        self.last_obs = self.m.kf_obs[kf1]
+        self.last_Tcw = self.m.kf_pose[kf1]
         self.velocity = None
-        self.ref_kf = int(kf1)
+        self.ref_kf = kf1
         self.last_kf_frame = self.frame_id
 
     # ------------------------------------------------------------------
     def _track(self, feats: FrameFeatures, ts: float) -> TrackerOutput:
         cfg = self.cfg
-        # motion model prediction (Tracking.cc:431-453)
-        if self.velocity is not None:
-            Tcw_pred = self.velocity @ self.last_Tcw
-        else:
-            Tcw_pred = self.last_Tcw
-
-        cur_obs, n_m = _track_last_frame(
-            self.m, feats, self.last_obs, self.last_feats.octave, Tcw_pred,
-            self.K, jnp.asarray(cfg.tracking.motion_search_window),
-            self.scale_factors, cfg.orb.n_levels,
+        has_vel = self.velocity is not None
+        vel = self.velocity if has_vel else self._eye4
+        # post-relocalization widening (Tracking.cc:1452: th=5 if just
+        # relocalized) and the stricter 50-inlier acceptance within
+        # mMaxFrames of the reloc (Tracking.cc:1200-1206)
+        just_reloc = self.frame_id < self.last_reloc_frame + 2
+        recent_reloc = (
+            self.frame_id < self.last_reloc_frame + cfg.tracking.max_frames_between_kf
         )
-        n_matches = int(n_m)
-        if n_matches < cfg.tracking.min_matches_motion:
-            # widen window 2x (Tracking.cc:1108-1121)
-            cur_obs, n_m = _track_last_frame(
-                self.m, feats, self.last_obs, self.last_feats.octave, Tcw_pred,
-                self.K, jnp.asarray(2.0 * cfg.tracking.motion_search_window),
-                self.scale_factors, cfg.orb.n_levels,
-            )
-            n_matches = int(n_m)
-        if n_matches < cfg.tracking.min_matches_motion:
-            # TrackReferenceKeyFrame fallback (Tracking.cc:449): match
-            # current descriptors against ref KF's map points brute force
-            cur_obs, n_matches = self._track_reference_kf(feats)
-            Tcw_pred = self.last_Tcw
-            if n_matches < cfg.tracking.min_matches_refkf:
-                self.state = LOST
-                self._maybe_auto_reset()
-                return TrackerOutput(LOST, None, n_matches, False)
-
-        Tcw, cur_obs, n_inl = _pose_opt_on_obs(
-            self.m, feats, cur_obs, Tcw_pred, self.K, self.inv_sigma2
+        p = self.params.replace(
+            local_th=jnp.asarray(5.0 if just_reloc else 1.0, jnp.float32)
         )
-        if int(n_inl) < cfg.tracking.min_inliers_motion:
-            self.state = LOST
-            return TrackerOutput(LOST, None, int(n_inl), False)
 
-        # track local map (Tracking.cc:1163-1207)
-        cur_obs, visible = _track_local_map(
-            self.m, feats, cur_obs, Tcw, self.K, self.scale_factors,
-            jnp.asarray(1.0), cfg.orb.n_levels,
+        m2, Tcw, cur_obs, vel_new, scalars = _track_step(
+            self.m, feats, self.last_obs, self.last_feats.octave,
+            self.last_feats.angle, jnp.asarray(has_vel), vel, self.last_Tcw,
+            jnp.asarray(self.ref_kf, jnp.int32), self.K, self.scale_factors,
+            self.inv_sigma2, p,
+            n_levels=cfg.orb.n_levels,
             max_local_points=cfg.capacity.local_ba_points,
             local_kf_cap=cfg.tracking.local_map_kf_cap,
+            pose_rounds=cfg.optim.pose_opt_rounds,
+            pose_iters=cfg.optim.pose_opt_iters,
         )
-        Tcw, cur_obs, n_inl = _pose_opt_on_obs(
-            self.m, feats, cur_obs, Tcw, self.K, self.inv_sigma2
-        )
-        n_inliers = int(n_inl)
-        self.m = _update_point_counters(self.m, visible, cur_obs)
+        s = np.asarray(scalars)  # the ONE device->host sync of the frame
+        n_matches = int(s[S_N_MATCHES])
+        n_i2 = int(s[S_N_INL2])
+        n_kf_valid = int(s[S_N_KF])
+        self.m = m2
 
-        if n_inliers < cfg.tracking.min_inliers_localmap:
+        if not bool(s[S_OK1]):
             self.state = LOST
-            self._maybe_auto_reset()
-            return TrackerOutput(LOST, None, n_inliers, False)
+            self._maybe_auto_reset(n_kf_valid)
+            return TrackerOutput(LOST, None, int(s[S_N_INL1]), False)
 
-        # motion model update
-        if self.last_Tcw is not None:
-            self.velocity = Tcw @ se3.inv(self.last_Tcw)
+        min_local = (
+            cfg.tracking.min_inliers_localmap_reloc
+            if recent_reloc
+            else cfg.tracking.min_inliers_localmap
+        )
+        if n_i2 < min_local:
+            self.state = LOST
+            self._maybe_auto_reset(n_kf_valid)
+            return TrackerOutput(LOST, None, n_i2, False)
+
+        # motion model update (device-resident; no fetch)
+        self.velocity = vel_new
         self.last_Tcw = Tcw
         self.last_feats = feats
         self.last_obs = cur_obs
 
         created = False
-        if self._need_new_keyframe(n_inliers):
+        if self._need_new_keyframe(n_i2, int(s[S_N_REF]), n_kf_valid):
             self._create_keyframe(feats, Tcw, cur_obs, ts)
             created = True
 
-        return TrackerOutput(OK, np.asarray(Tcw), n_inliers, created)
+        return TrackerOutput(OK, Tcw, n_i2, created)
 
-    def _maybe_auto_reset(self):
+    def _maybe_auto_reset(self, n_kf_valid: int):
         """Reset the whole session when tracking is lost soon after
         initialization (Tracking.cc:646-656: LOST with <= 5 keyframes)."""
-        if int(self.m.kf_valid.sum()) <= self.cfg.tracking.auto_reset_max_kfs:
+        if n_kf_valid <= self.cfg.tracking.auto_reset_max_kfs:
             self.reset()
 
     def reset(self):
@@ -565,6 +901,7 @@ class Tracker:
         from ..bow.database import BowIndex
 
         self.m = mt.empty_map(self.cfg.capacity, self.cfg.orb.n_features)
+        self.n_kf_host = 0
         self.state = NO_IMAGES_YET
         self.last_feats = None
         self.last_obs = None
@@ -572,44 +909,29 @@ class Tracker:
         self.velocity = None
         self.ref_kf = 0
         self.last_kf_frame = 0
+        self.last_reloc_frame = -(10**9)
         self.init_feats = None
         self._cur_depth = None
         self.bow = BowIndex(self.cfg.capacity.max_keyframes)
 
-    def _track_reference_kf(self, feats: FrameFeatures):
-        """TrackReferenceKeyFrame (src/Tracking.cc:977-1024): descriptor
-        matching (the reference uses BoW buckets; full matrix here) against
-        the reference keyframe's map points."""
-        m = self.m
-        k = self.ref_kf
-        ref_has = (m.kf_obs[k] >= 0) & m.kf_feat_valid[k]
-        idx, dist = matcher.match_by_descriptor(
-            m.kf_desc[k], feats.desc, ref_has, feats.valid,
-            nn_ratio=self.cfg.matcher.nn_ratio_refkf,
-        )
-        n = feats.n
-        ok = idx >= 0
-        cur_obs = jnp.full((n,), -1, jnp.int32).at[
-            jnp.where(ok, idx, n)
-        ].set(jnp.where(ok, m.kf_obs[k], -1), mode="drop")
-        return cur_obs, int(ok.sum())
-
-    def _need_new_keyframe(self, n_inliers: int) -> bool:
-        """NeedNewKeyFrame (src/Tracking.cc:1210-1310), monocular branch.
+    def _need_new_keyframe(
+        self, n_inliers: int, n_ref: int, n_kf_valid: int
+    ) -> bool:
+        """NeedNewKeyFrame (src/Tracking.cc:1210-1310), monocular branch,
+        evaluated from the fused step's device-computed statistics.
         Localization-only mode never inserts (Tracking.cc:1213)."""
         cfg = self.cfg
         if not self.allow_keyframes:
             return False
-        if int(self.m.n_kf) >= self.m.max_kf - 1:
+        if self.n_kf_host >= self.m.max_kf - 1:
             return False
-        # nRefMatches: tracked points in ref KF (>= 3 obs when map is mature)
-        k = self.ref_kf
-        min_obs = 3 if int(self.m.n_kf) > 2 else 2
-        ref_obs = np.asarray(self.m.kf_obs[k])
-        valid_ref = ref_obs >= 0
-        nobs = np.asarray(self.m.mp_n_obs)[np.maximum(ref_obs, 0)]
-        n_ref = int((valid_ref & (nobs >= min_obs)).sum())
-
+        # reloc gate: no keyframes right after relocalization while the map
+        # is already mature (Tracking.cc:1222)
+        if (
+            self.frame_id < self.last_reloc_frame + cfg.tracking.max_frames_between_kf
+            and n_kf_valid > cfg.tracking.max_frames_between_kf
+        ):
+            return False
         c1a = self.frame_id >= self.last_kf_frame + cfg.tracking.max_frames_between_kf
         c1b = self.frame_id >= self.last_kf_frame + cfg.tracking.min_frames_between_kf
         c2 = (n_inliers < n_ref * cfg.tracking.keyframe_min_ratio) and n_inliers > 15
@@ -618,38 +940,24 @@ class Tracker:
     def _create_keyframe(self, feats, Tcw, cur_obs, ts):
         """CreateNewKeyFrame (src/Tracking.cc:1312-1407) + synchronous
         local-mapping pass (the reference queues to the mapping thread)."""
-        m, kf_id = mt.add_keyframe(
-            self.m, Tcw, feats.xy_und, feats.octave, feats.angle, feats.desc,
-            feats.valid, cur_obs, jnp.asarray(self.frame_id),
+        if self.n_kf_host >= self.m.max_kf:
+            return
+        args = (
+            self.m, Tcw, feats, cur_obs, jnp.asarray(self.frame_id),
             jnp.asarray(ts, jnp.float32), jnp.asarray(self.ref_kf),
         )
-        kf = int(kf_id)
-        if kf < 0:
-            return
-        # stereo/RGB-D: create close points directly from depth for features
-        # without a map point (Tracking::CreateNewKeyFrame,
-        # src/Tracking.cc:1340-1395)
         if self._cur_depth is not None:
-            N = feats.n
-            free = feats.valid & (m.kf_obs[kf] < 0) & (self._cur_depth > 0)
-            close = self._cur_depth < self.cfg.camera.depth_threshold
-            Xc = self.camera.unproject(feats.xy_und, self._cur_depth)
-            Twc = se3.inv(Tcw)
-            Xw = se3.apply(Twc, Xc)
-            m, _ = mt.add_map_points(
-                m,
-                pos=Xw,
-                desc=feats.desc,
-                normal=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (N, 1)),
-                min_dist=jnp.full(N, 0.1),
-                max_dist=jnp.full(N, 100.0),
-                kf1=jnp.full(N, kf, jnp.int32),
-                feat1=jnp.arange(N, dtype=jnp.int32),
-                kf2=jnp.full(N, -1, jnp.int32),
-                feat2=jnp.zeros(N, jnp.int32),
-                valid=free & close,
+            # stereo/RGB-D: create close points directly from depth for
+            # features without a map point (src/Tracking.cc:1340-1395)
+            m, kf_id = _freeze_kf_depth(
+                *args, self._cur_depth, self.camera,
+                jnp.asarray(self.cfg.camera.depth_threshold, jnp.float32),
+                self.scale_factors,
             )
-            m = refresh_point_stats(m, self.scale_factors)
+        else:
+            m, kf_id = _freeze_kf(*args)
+        kf = self.n_kf_host  # slot allocation is deterministic
+        self.n_kf_host += 1
         self.m = m
         self.ref_kf = kf
         self.last_kf_frame = self.frame_id
@@ -667,8 +975,8 @@ class Tracker:
         ORBvoc.txt exists — see bow/vocabulary.py)."""
         m = self.m
         self.bow.add(kf, m.kf_desc[kf], m.kf_feat_valid[kf])
-        if not self.bow.ready and int(m.n_kf) >= 4:
-            n_train = int(m.n_kf)
+        if not self.bow.ready and self.n_kf_host >= 4:
+            n_train = self.n_kf_host
             desc = m.kf_desc[:n_train].reshape(-1, 8)
             valid = m.kf_feat_valid[:n_train].reshape(-1)
             self.bow.maybe_train(
@@ -678,9 +986,11 @@ class Tracker:
     def _reloc_candidates(self, feats: FrameFeatures) -> list[int]:
         """BoW candidate keyframes for relocalization
         (KeyFrameDatabase::DetectRelocalizationCandidates,
-        src/KeyFrameDatabase.cc:208-328)."""
+        src/KeyFrameDatabase.cc:208-328). Before the vocabulary is trained,
+        candidates fall back to raw-descriptor scoring against every valid
+        keyframe (instead of only the reference KF)."""
         if not self.bow.ready:
-            return [self.ref_kf]
+            return self._reloc_candidates_untrained(feats)
         from ..bow.database import query_candidates
         from ..slam_map.covisibility import covisibility_matrix
 
@@ -692,6 +1002,27 @@ class Tracker:
         acc = np.asarray(jnp.where(keep, acc, -1.0))
         order = np.argsort(-acc)
         return [int(k) for k in order[:3] if acc[k] > 0] or [self.ref_kf]
+
+    def _reloc_candidates_untrained(self, feats: FrameFeatures) -> list[int]:
+        """Pre-vocabulary fallback: rank ALL keyframes by brute-force
+        descriptor match count against the frame (the map holds <= ~4 KFs at
+        this point, so the full pass is cheap)."""
+        m = self.m
+        n_kf = self.n_kf_host
+        if n_kf == 0:
+            return [self.ref_kf]
+        counts = []
+        for k in range(n_kf):
+            if not bool(m.kf_valid[k]):
+                continue
+            has = (m.kf_obs[k] >= 0) & m.kf_feat_valid[k]
+            idx, _ = matcher.match_by_descriptor(
+                m.kf_desc[k], feats.desc, has, feats.valid,
+                nn_ratio=self.cfg.matcher.nn_ratio_bow,
+            )
+            counts.append((int((idx >= 0).sum()), k))
+        counts.sort(reverse=True)
+        return [k for _, k in counts[:3]] or [self.ref_kf]
 
     def _relocalize(self, feats: FrameFeatures, ts: float) -> TrackerOutput:
         """Relocalization (Tracking::Relocalization,
@@ -705,7 +1036,9 @@ class Tracker:
             ref_has = (kf_obs >= 0) & m.kf_feat_valid[cand]
             idx, dist = matcher.match_by_descriptor(
                 m.kf_desc[cand], feats.desc, ref_has, feats.valid,
+                max_dist=cfg.matcher.th_low,
                 nn_ratio=cfg.matcher.nn_ratio_bow,
+                angle1=m.kf_angle[cand], angle2=feats.angle,
             )
             n = feats.n
             ok = idx >= 0
@@ -731,6 +1064,8 @@ class Tracker:
             cur_obs3, _ = _track_local_map(
                 m, feats, cur_obs2, Tcw, self.K, self.scale_factors,
                 jnp.asarray(1.0), cfg.orb.n_levels,
+                jnp.asarray(cfg.matcher.nn_ratio_localmap),
+                jnp.asarray(cfg.matcher.th_high),
                 max_local_points=cfg.capacity.local_ba_points,
                 local_kf_cap=cfg.tracking.local_map_kf_cap,
             )
@@ -750,12 +1085,15 @@ class Tracker:
         self.last_feats = feats
         self.last_obs = cur_obs
         self.velocity = None
+        self.last_reloc_frame = self.frame_id
         return TrackerOutput(OK, np.asarray(Tcw), n_inl, False)
 
     # ------------------------------------------------------------------
     def trajectory_Twc(self) -> tuple[np.ndarray, np.ndarray]:
-        """(timestamps (F,), Twc (F,4,4)) for export/eval."""
+        """(timestamps (F,), Twc (F,4,4)) for export/eval. Poses are kept on
+        device during tracking; this stacks them into one array and performs
+        a single device->host transfer."""
         ts = np.asarray([t for t, _ in self.trajectory])
-        Tcw = np.stack([p for _, p in self.trajectory])
+        Tcw = np.asarray(jnp.stack([jnp.asarray(p) for _, p in self.trajectory]))
         Twc = np.linalg.inv(Tcw)
         return ts, Twc
