@@ -1,10 +1,14 @@
-"""Batched two-view triangulation (DLT via SVD).
+"""Batched two-view triangulation (inhomogeneous DLT, closed form).
 
 TPU-native replacement for ``Initializer::Triangulate``
 (jni/ORB_SLAM2/src/Initializer.cc:743-805) and the SVD triangulation inside
 ``LocalMapping::CreateNewMapPoints`` (jni/ORB_SLAM2/src/LocalMapping.cc:221-505).
-The reference triangulates one correspondence at a time with cv::SVD; here a
-whole batch is solved at once with vmapped 4x4 SVDs, which XLA maps well.
+The reference solves the homogeneous 4x4 DLT with cv::SVD per
+correspondence; batched small SVDs lower to slow iterative loops on TPU, so
+here the homogeneous coordinate is fixed to 1 and the 4x3 least-squares
+system is solved with closed-form 3x3 normal equations — branch-free VPU
+arithmetic. The two solutions differ only for points near infinity, which
+the downstream cheirality/parallax/chi2 gates reject in either case.
 """
 
 from __future__ import annotations
@@ -43,12 +47,26 @@ def triangulate_dlt(
         ],
         axis=-2,
     )  # (..., 4, 4)
-    # Null vector of A: right singular vector of smallest singular value.
-    _, _, vt = jnp.linalg.svd(rows)
-    Xh = vt[..., 3, :]
-    w = Xh[..., 3]
-    w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return Xh[..., :3] / w_safe[..., None]
+    # Inhomogeneous DLT: A[:, :3] X = -A[:, 3]; 3x3 normal equations with a
+    # closed-form adjugate inverse (no SVD loops).
+    B = rows[..., :3]                       # (..., 4, 3)
+    a = rows[..., 3]                        # (..., 4)
+    H = jnp.einsum("...ki,...kj->...ij", B, B)   # (..., 3, 3)
+    g = -jnp.einsum("...ki,...k->...i", B, a)    # (..., 3)
+    h00, h01, h02 = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    h11, h12, h22 = H[..., 1, 1], H[..., 1, 2], H[..., 2, 2]
+    c00 = h11 * h22 - h12 * h12
+    c01 = h02 * h12 - h01 * h22
+    c02 = h01 * h12 - h02 * h11
+    c11 = h00 * h22 - h02 * h02
+    c12 = h01 * h02 - h00 * h12
+    c22 = h00 * h11 - h01 * h01
+    det = h00 * c00 + h01 * c01 + h02 * c02
+    det = jnp.where(jnp.abs(det) < 1e-18, jnp.sign(det + 1e-30) * 1e-18, det)
+    x = (c00 * g[..., 0] + c01 * g[..., 1] + c02 * g[..., 2]) / det
+    y = (c01 * g[..., 0] + c11 * g[..., 1] + c12 * g[..., 2]) / det
+    z = (c02 * g[..., 0] + c12 * g[..., 1] + c22 * g[..., 2]) / det
+    return jnp.stack([x, y, z], axis=-1)
 
 
 def depth_in_view(Tcw: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:

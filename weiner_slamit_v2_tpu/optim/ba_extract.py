@@ -150,6 +150,7 @@ def write_back_ba(
     cam_ids: jnp.ndarray,
     point_ids: jnp.ndarray,
     erase_outliers: bool = True,
+    rebuild: bool = True,
 ) -> SlamMap:
     """Scatter optimized poses/points into the map and erase outlier
     observations (set the keyframe's feature slot back to -1, then rebuild
@@ -167,5 +168,6 @@ def write_back_ba(
         kf_w = jnp.where(bad & (obs_kfs >= 0), obs_kfs, m.max_kf)
         kf_obs = m.kf_obs.at[kf_w, obs_fts].set(-1, mode="drop")
         m = m.replace(kf_obs=kf_obs)
-        m = rebuild_observation_lists(m)
+        if rebuild:
+            m = rebuild_observation_lists(m)
     return m

@@ -3,22 +3,26 @@
 TPU-native replacement for g2o-based ``Optimizer::LocalBundleAdjustment`` /
 ``BundleAdjustment`` (jni/ORB_SLAM2/src/Optimizer.cc:453-778, :49-237). The
 reference builds a sparse graph and factorizes with Eigen sparse Cholesky;
-here the solver exploits the classic SfM structure directly with dense
-blocks, which is what maps to the MXU:
+here the solver exploits the classic SfM structure with layouts chosen for
+the TPU's units (PLATFORM.md §2: no random gathers, no batched tiny matmuls):
 
-  * point blocks Hpp are (P, 3, 3) — batched closed-form inverses;
-  * camera blocks Hcc / cross blocks Hcp are scatter-added over observations;
-  * the reduced camera system S = Hcc - Hcp Hpp^-1 Hpc is a (6C, 6C) dense
-    matrix assembled with one einsum (C is the local window, <= ~64, so dense
-    Cholesky is exact and tiny);
-  * points are back-substituted in batch.
+  * every per-observation quantity (residuals, the 6 camera-Jacobian rows,
+    the 3 point-Jacobian rows per residual row) is a flat (N_obs,) plane —
+    pure VPU elementwise work;
+  * the per-observation camera pose "gather" is a one-hot (N_obs, C) @
+    (C, 12) matmul (35x faster than a random gather at these sizes);
+  * point blocks Hpp are 3x3 closed-form inverses from summed planes;
+  * the cross term is assembled once as U = Hcp in (6C, 3P) matmul layout,
+    so the reduced camera system S = Hcc - U Hpp^-1 U^T is ONE well-tiled
+    (6C, 3P) @ (3P, 6C) MXU contraction instead of an einsum of tiny blocks;
+  * the 6Cx6C solve is a small dense Cholesky.
 
 The observation layout is point-major (P, O): each point carries up to O
 observations (cam slot, uv, information) — the array form of
-MapPoint::mObservations. The same solver serves local BA (fixed boundary
-cams — Optimizer.cc:504-521), global BA (no fixed cams but gauge fixed at
-kf0), and the distributed variant (parallel/sharded_ba.py shards the
-scatter-accumulation and psums the reduced system).
+MapPoint::mObservations. The same kernels serve local BA (fixed boundary
+cams — Optimizer.cc:504-521), global BA (gauge fixed at kf0), and the
+distributed variant (parallel/sharded_ba.py shards the point planes and
+psums the reduced system over ICI).
 """
 
 from __future__ import annotations
@@ -59,37 +63,77 @@ class BAResult:
     final_cost: jnp.ndarray    # () robust cost on the final estimate
 
 
-def _project_residuals(cam_pose, points, K, obs_cam, obs_uv):
-    """Residuals + Jacobians for all observations.
+def _pose_rows_by_obs(cam_pose, obs_cam, C):
+    """(N,12) per-observation [R row-major | t] via one-hot matmul (the
+    random-gather killer — PLATFORM.md §2)."""
+    N = obs_cam.size
+    cam = jnp.maximum(obs_cam, 0).reshape(N)
+    onehot = (cam[:, None] == jnp.arange(C)[None, :]).astype(jnp.float32)
+    rows = cam_pose[:, :3, :4].reshape(C, 12)
+    return onehot @ rows, onehot
 
-    Returns r (P,O,2), J_c (P,O,2,6), J_p (P,O,2,3), z (P,O).
+
+def _project_planes(cam_pose, points, K, obs_cam, obs_uv, C):
+    """Flat SoA projection: residuals + all Jacobian planes.
+
+    Returns a dict of (N,) planes: ru rv z, Ju[6] Jv[6] (camera rows, tangent
+    [upsilon, omega] of the left-mult update), Jpu[3] Jpv[3] (point rows).
     """
+    P, O = obs_cam.shape
+    N = P * O
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-    cam = jnp.maximum(obs_cam, 0)
-    T = cam_pose[cam]                      # (P, O, 4, 4)
-    R = T[..., :3, :3]
-    t = T[..., :3, 3]
-    P3 = jnp.einsum("poij,pj->poi", R, points) + t   # (P, O, 3)
-    x, y, z = P3[..., 0], P3[..., 1], P3[..., 2]
-    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
-    iz = 1.0 / z_safe
-    u = fx * x * iz + cx
-    v = fy * y * iz + cy
-    r = jnp.stack([u, v], axis=-1) - obs_uv
+    T, onehot = _pose_rows_by_obs(cam_pose, obs_cam, C)
+    # T layout: [R00 R01 R02 t0 | R10 R11 R12 t1 | R20 R21 R22 t2]
+    R00, R01, R02, t0 = T[:, 0], T[:, 1], T[:, 2], T[:, 3]
+    R10, R11, R12, t1 = T[:, 4], T[:, 5], T[:, 6], T[:, 7]
+    R20, R21, R22, t2 = T[:, 8], T[:, 9], T[:, 10], T[:, 11]
+    X0 = jnp.broadcast_to(points[:, 0:1], (P, O)).reshape(N)
+    X1 = jnp.broadcast_to(points[:, 1:2], (P, O)).reshape(N)
+    X2 = jnp.broadcast_to(points[:, 2:3], (P, O)).reshape(N)
+    x = R00 * X0 + R01 * X1 + R02 * X2 + t0
+    y = R10 * X0 + R11 * X1 + R12 * X2 + t1
+    z = R20 * X0 + R21 * X1 + R22 * X2 + t2
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    iz = 1.0 / zs
+    iz2 = iz * iz
+    uv = obs_uv.reshape(N, 2)
+    ru = fx * x * iz + cx - uv[:, 0]
+    rv = fy * y * iz + cy - uv[:, 1]
+    zero = jnp.zeros(N)
+    # camera rows: J = dproj/dP · [I | -hat(P)] (left-mult tangent)
+    Ju = (fx * iz, zero, -fx * x * iz2,
+          -fx * x * y * iz2, fx * (1.0 + x * x * iz2), -fx * y * iz)
+    Jv = (zero, fy * iz, -fy * y * iz2,
+          -fy * (1.0 + y * y * iz2), fy * x * y * iz2, fy * x * iz)
+    # point rows: dproj/dP · R
+    Jpu = (fx * iz * R00 - fx * x * iz2 * R20,
+           fx * iz * R01 - fx * x * iz2 * R21,
+           fx * iz * R02 - fx * x * iz2 * R22)
+    Jpv = (fy * iz * R10 - fy * y * iz2 * R20,
+           fy * iz * R11 - fy * y * iz2 * R21,
+           fy * iz * R12 - fy * y * iz2 * R22)
+    return dict(ru=ru, rv=rv, z=z, Ju=Ju, Jv=Jv, Jpu=Jpu, Jpv=Jpv)
 
-    zero = jnp.zeros_like(x)
-    du = jnp.stack([fx * iz, zero, -fx * x * iz * iz], axis=-1)
-    dv = jnp.stack([zero, fy * iz, -fy * y * iz * iz], axis=-1)
-    dproj = jnp.stack([du, dv], axis=-2)   # (P, O, 2, 3)
 
-    # camera: left-mult update exp(xi) T -> dP/dxi = [I | -hat(P3)]
-    eye = jnp.broadcast_to(jnp.eye(3), P3.shape[:-1] + (3, 3))
-    dP_c = jnp.concatenate([eye, -se3.hat(P3)], axis=-1)  # (P, O, 3, 6)
-    J_c = jnp.einsum("poij,pojk->poik", dproj, dP_c)
-
-    # point: dP/dX = R
-    J_p = jnp.einsum("poij,pojk->poik", dproj, R)
-    return r, J_c, J_p, z
+def _chi2_planes(cam_pose, points, K, obs_cam, obs_uv, C):
+    """(chi2/inv_sigma2 (P,O), z (P,O)) — cost-only projection (no Jacobians)."""
+    P, O = obs_cam.shape
+    N = P * O
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    T, _ = _pose_rows_by_obs(cam_pose, obs_cam, C)
+    X0 = jnp.broadcast_to(points[:, 0:1], (P, O)).reshape(N)
+    X1 = jnp.broadcast_to(points[:, 1:2], (P, O)).reshape(N)
+    X2 = jnp.broadcast_to(points[:, 2:3], (P, O)).reshape(N)
+    x = T[:, 0] * X0 + T[:, 1] * X1 + T[:, 2] * X2 + T[:, 3]
+    y = T[:, 4] * X0 + T[:, 5] * X1 + T[:, 6] * X2 + T[:, 7]
+    z = T[:, 8] * X0 + T[:, 9] * X1 + T[:, 10] * X2 + T[:, 11]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    iz = 1.0 / zs
+    uv = obs_uv.reshape(N, 2)
+    ru = fx * x * iz + cx - uv[:, 0]
+    rv = fy * y * iz + cy - uv[:, 1]
+    r2 = (ru * ru + rv * rv).reshape(P, O)
+    return r2, z.reshape(P, O)
 
 
 def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
@@ -135,45 +179,88 @@ def _robust_cost(chi2, robust):
     return jnp.where(robust, rho, chi2)
 
 
-def build_normal_equations(
-    cam_pose, points, K, obs_cam, obs_uv, w, C: int
-):
-    """Accumulate the BA normal equations.
+def build_normal_equations(cam_pose, points, K, obs_cam, obs_uv, w, C):
+    """Accumulate the BA normal equations in MXU-friendly layouts.
 
     w: (P, O) final per-observation weights (information x robust x masks).
-    Returns Hcc (C,6,6), bc (C,6), Hpp (P,3,3), bp (P,3), Hcp (C,P,6,3).
+    Returns Hcc (C,6,6), bc (C,6), Hpp (P,3,3), bp (P,3), U (6C, 3P) — the
+    camera-point cross term laid out so the Schur product is one matmul.
     This function is the sharding point for distributed BA: observations can
-    be partitioned and the outputs psum-reduced.
+    be partitioned along P and the reduced system psum-reduced.
     """
-    r, J_c, J_p, z = _project_residuals(cam_pose, points, K, obs_cam, obs_uv)
-    w = w * (z > 0)
-
-    Jc_w = J_c * w[..., None, None]
-    Jp_w = J_p * w[..., None, None]
-
-    Hpp = jnp.einsum("poij,poik->pjk", Jp_w, J_p)
-    bp = -jnp.einsum("poij,poi->pj", Jp_w, r)
-
     P, O = w.shape
-    cam_flat = jnp.maximum(obs_cam, 0).reshape(-1)
-    Hcc_contrib = jnp.einsum("poij,poik->pojk", Jc_w, J_c).reshape(P * O, 6, 6)
-    bc_contrib = -jnp.einsum("poij,poi->poj", Jc_w, r).reshape(P * O, 6)
-    Hcc = jnp.zeros((C, 6, 6)).at[cam_flat].add(Hcc_contrib)
-    bc = jnp.zeros((C, 6)).at[cam_flat].add(bc_contrib)
+    N = P * O
+    pl = _project_planes(cam_pose, points, K, obs_cam, obs_uv, C)
+    wf = (w * (pl["z"].reshape(P, O) > 0)).reshape(N)
+    Ju, Jv, Jpu, Jpv = pl["Ju"], pl["Jv"], pl["Jpu"], pl["Jpv"]
+    ru, rv = pl["ru"], pl["rv"]
 
-    Hcp_contrib = jnp.einsum("poij,poik->pojk", Jc_w, J_p)  # (P, O, 6, 3)
-    p_flat = jnp.repeat(jnp.arange(P), O)
-    Hcp = jnp.zeros((C, P, 6, 3)).at[cam_flat, p_flat].add(
-        Hcp_contrib.reshape(P * O, 6, 3)
+    # ---- point blocks: 6 unique entries of the 3x3 symmetric Hpp ----------
+    def psum(plane):
+        return jnp.sum(plane.reshape(P, O), axis=1)
+
+    Hpp = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    psum((Jpu[a] * Jpu[b] + Jpv[a] * Jpv[b]) * wf)
+                    for b in range(3)
+                ],
+                axis=-1,
+            )
+            for a in range(3)
+        ],
+        axis=-2,
+    )  # (P, 3, 3)
+    bp = jnp.stack(
+        [-psum((Jpu[a] * ru + Jpv[a] * rv) * wf) for a in range(3)], axis=-1
     )
-    return Hcc, bc, Hpp, bp, Hcp
+
+    # ---- camera blocks: scatter-add per camera ----------------------------
+    cam = jnp.maximum(obs_cam, 0).reshape(N)
+    Hcc_blk = jnp.stack(
+        [
+            jnp.stack(
+                [(Ju[a] * Ju[b] + Jv[a] * Jv[b]) * wf for b in range(6)],
+                axis=-1,
+            )
+            for a in range(6)
+        ],
+        axis=-2,
+    )  # (N, 6, 6)
+    bc_blk = jnp.stack(
+        [-(Ju[a] * ru + Jv[a] * rv) * wf for a in range(6)], axis=-1
+    )  # (N, 6)
+    Hcc = jnp.zeros((C, 6, 6)).at[cam].add(Hcc_blk)
+    bc = jnp.zeros((C, 6)).at[cam].add(bc_blk)
+
+    # ---- cross term in matmul layout: U (C, 6, P, 3) -> (6C, 3P) ----------
+    G = jnp.stack(
+        [
+            jnp.stack(
+                [(Ju[a] * Jpu[b] + Jv[a] * Jpv[b]) * wf for b in range(3)],
+                axis=-1,
+            )
+            for a in range(6)
+        ],
+        axis=-2,
+    )  # (N, 6, 3)
+    p_idx = jnp.broadcast_to(
+        jnp.arange(P, dtype=jnp.int32)[:, None], (P, O)
+    ).reshape(N)
+    U4 = jnp.zeros((C, P, 6, 3)).at[cam, p_idx].add(G)
+    U = U4.transpose(0, 2, 1, 3).reshape(C * 6, P * 3)
+    return Hcc, bc, Hpp, bp, U
 
 
-def schur_solve(Hcc, bc, Hpp, bp, Hcp, cam_free, point_free, lam):
+def schur_solve(Hcc, bc, Hpp, bp, U, cam_free, point_free, lam, psum_axis=None):
     """Solve the damped normal equations by marginalizing points.
 
-    cam_free: (C,) bool — optimizable cameras; fixed/invalid get dx = 0.
-    point_free: (P,) bool. lam: LM damping. Returns (dc (C,6), dp (P,3)).
+    U: (6C, 3P) cross term from build_normal_equations. cam_free: (C,) bool —
+    optimizable cameras; fixed/invalid get dx = 0. point_free: (P,).
+    lam: LM damping. psum_axis: shard_map axis name for the distributed
+    variant (the reduced system is summed over it). Returns (dc (C,6),
+    dp (P,3)).
     """
     C = Hcc.shape[0]
     P = Hpp.shape[0]
@@ -185,14 +272,29 @@ def schur_solve(Hcc, bc, Hpp, bp, Hcp, cam_free, point_free, lam):
     # mask out frozen points: make their block identity, rhs zero
     Hpp_d = jnp.where(point_free[:, None, None], Hpp_d, jnp.eye(3))
     bp = jnp.where(point_free[:, None], bp, 0.0)
-    Hcp = jnp.where(point_free[None, :, None, None], Hcp, 0.0)
+    pmask = jnp.broadcast_to(point_free[:, None], (P, 3)).reshape(P * 3)
+    U = jnp.where(pmask[None, :], U, 0.0)
 
-    Hpp_inv = _inv3x3(Hpp_d)
-    Wcp = jnp.einsum("cpij,pjk->cpik", Hcp, Hpp_inv)          # (C, P, 6, 3)
-    S_off = jnp.einsum("cpij,dpkj->cdik", Wcp, Hcp)           # (C, C, 6, 6)
-    S = -S_off
+    Hpp_inv = _inv3x3(Hpp_d)  # (P, 3, 3)
+    # Q = U · blockdiag(Hpp_inv): 9 elementwise multiply-adds of (6C, P)
+    U3 = U.reshape(C * 6, P, 3)
+    Q = jnp.stack(
+        [
+            sum(U3[:, :, k] * Hpp_inv[None, :, k, b] for k in range(3))
+            for b in range(3)
+        ],
+        axis=-1,
+    ).reshape(C * 6, P * 3)
+    # the reduced camera system: ONE (6C, 3P) @ (3P, 6C) contraction
+    S = -(Q @ U.T)
+    b_red = bc.reshape(C * 6) - Q @ bp.reshape(P * 3)
+    S = S.reshape(C, 6, C, 6).transpose(0, 2, 1, 3)
     S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc_d)
-    b_red = bc - jnp.einsum("cpij,pj->ci", Wcp, bp)
+    b_red = b_red.reshape(C, 6)
+
+    if psum_axis is not None:
+        S = jax.lax.psum(S, psum_axis)
+        b_red = jax.lax.psum(b_red, psum_axis)
 
     # freeze fixed cameras: identity rows/cols
     free = cam_free
@@ -209,16 +311,24 @@ def schur_solve(Hcc, bc, Hpp, bp, Hcp, cam_free, point_free, lam):
     dc = dc.reshape(C, 6)
     dc = jnp.where(free[:, None], dc, 0.0)
 
-    # back-substitute points: dp = Hpp^-1 (bp - Hpc dc)
-    rhs = bp - jnp.einsum("cpij,ci->pj", Hcp, dc)
-    dp = jnp.einsum("pij,pj->pi", Hpp_inv, rhs)
+    # back-substitute points: dp = Hpp^-1 (bp - U^T dc)
+    tmp = (U.T @ dc.reshape(C * 6)).reshape(P, 3)
+    rhs = bp - tmp
+    dp = jnp.stack(
+        [
+            sum(Hpp_inv[:, b, k] * rhs[:, k] for k in range(3))
+            for b in range(3)
+        ],
+        axis=-1,
+    )
     dp = jnp.where(point_free[:, None], dp, 0.0)
     return dc, dp
 
 
 def _total_cost(cam_pose, points, K, prob: BAProblem, active_obs, robust):
-    r, _, _, z = _project_residuals(cam_pose, points, K, prob.obs_cam, prob.obs_uv)
-    chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
+    C = prob.cam_pose.shape[0]
+    r2, z = _chi2_planes(cam_pose, points, K, prob.obs_cam, prob.obs_uv, C)
+    chi2 = r2 * prob.obs_inv_sigma2
     cost = _robust_cost(chi2, robust)
     ok = active_obs & (z > 0)
     return jnp.sum(jnp.where(ok, cost, 0.0)), chi2, z
@@ -249,21 +359,19 @@ def solve_ba(
     def lm_phase(cam_pose, points, active_obs, robust, n_iters, lam0):
         def step(_, state):
             cam_pose, points, lam = state
-            r, _, _, z = _project_residuals(
-                cam_pose, points, prob.K, prob.obs_cam, prob.obs_uv
+            c0, chi2, _ = _total_cost(
+                cam_pose, points, prob.K, prob, active_obs, robust
             )
-            chi2 = jnp.sum(r * r, axis=-1) * prob.obs_inv_sigma2
             w = prob.obs_inv_sigma2 * _robust_weight(chi2, robust)
             w = jnp.where(active_obs, w, 0.0)
-            Hcc, bc, Hpp, bp, Hcp = build_normal_equations(
+            Hcc, bc, Hpp, bp, U = build_normal_equations(
                 cam_pose, points, prob.K, prob.obs_cam, prob.obs_uv, w, C
             )
-            dc, dp = schur_solve(Hcc, bc, Hpp, bp, Hcp, cam_free, point_free, lam)
+            dc, dp = schur_solve(Hcc, bc, Hpp, bp, U, cam_free, point_free, lam)
 
             new_pose = jax.vmap(se3.retract)(cam_pose, dc)
             new_pts = points + dp
 
-            c0, _, _ = _total_cost(cam_pose, points, prob.K, prob, active_obs, robust)
             c1, _, _ = _total_cost(new_pose, new_pts, prob.K, prob, active_obs, robust)
             # a NaN/Inf state must never be accepted (a NaN cost masks to 0
             # through the validity gates, which would look like a decrease)

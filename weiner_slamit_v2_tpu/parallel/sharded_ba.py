@@ -27,11 +27,11 @@ from ..geometry import se3
 from ..optim.local_ba import (
     BAProblem,
     BAResult,
-    _inv3x3,
-    _project_residuals,
+    _chi2_planes,
     _robust_cost,
     _robust_weight,
     build_normal_equations,
+    schur_solve,
 )
 
 CHI2_MONO = 5.991
@@ -68,8 +68,9 @@ def shard_problem(prob: BAProblem, mesh: Mesh, axis: str = "ba") -> BAProblem:
 
 
 def _local_cost(cam_pose, points, K, obs_cam, obs_uv, inv_sigma2, active, robust):
-    r, _, _, z = _project_residuals(cam_pose, points, K, obs_cam, obs_uv)
-    chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+    C = cam_pose.shape[0]
+    r2, z = _chi2_planes(cam_pose, points, K, obs_cam, obs_uv, C)
+    chi2 = r2 * inv_sigma2
     cost = _robust_cost(chi2, robust)
     ok = active & (z > 0)
     return jnp.sum(jnp.where(ok, cost, 0.0)), chi2, z
@@ -114,62 +115,30 @@ def solve_ba_sharded(
         def lm_phase(cam_pose, points, active_obs, robust, n_iters, lam0):
             def step(_, state):
                 cam_pose, points, lam = state
-                r, _, _, z = _project_residuals(cam_pose, points, K, obs_cam, obs_uv)
-                chi2 = jnp.sum(r * r, axis=-1) * obs_inv_sigma2
-                w = obs_inv_sigma2 * _robust_weight(chi2, robust)
-                w = jnp.where(active_obs, w, 0.0)
-                Hcc, bc, Hpp, bp, Hcp = build_normal_equations(
-                    cam_pose, points, K, obs_cam, obs_uv, w, C
-                )
-                # ---- distributed Schur: local point marginalization, psum
-                # of the reduced camera system over the mesh ----------------
-                Hpp_d = Hpp + (
-                    lam * jnp.maximum(jnp.einsum("pii->pi", Hpp), 1e-6)
-                )[..., None] * jnp.eye(3)
-                Hpp_d = jnp.where(point_free[:, None, None], Hpp_d, jnp.eye(3))
-                bp_m = jnp.where(point_free[:, None], bp, 0.0)
-                Hcp_m = jnp.where(point_free[None, :, None, None], Hcp, 0.0)
-                Hpp_inv = _inv3x3(Hpp_d)
-                Wcp = jnp.einsum("cpij,pjk->cpik", Hcp_m, Hpp_inv)
-                S_local = -jnp.einsum("cpij,dpkj->cdik", Wcp, Hcp_m)
-                b_local = bc - jnp.einsum("cpij,pj->ci", Wcp, bp_m)
-                # Hcc is accumulated from local observations only -> psum
-                Hcc_d = Hcc + (
-                    lam * jnp.maximum(jnp.einsum("cii->ci", Hcc), 1e-6)
-                )[..., None] * jnp.eye(6)
-                S_local = S_local.at[jnp.arange(C), jnp.arange(C)].add(Hcc_d)
-
-                S = jax.lax.psum(S_local, axis)          # <- ICI reduce
-                b_red = jax.lax.psum(b_local, axis)      # <- ICI reduce
-
-                free = cam_free
-                mask2 = free[:, None] & free[None, :]
-                S = jnp.where(mask2[:, :, None, None], S, 0.0)
-                S = S.at[jnp.arange(C), jnp.arange(C)].add(
-                    jnp.where(free, 0.0, 1.0)[:, None, None] * jnp.eye(6)
-                )
-                b_red = jnp.where(free[:, None], b_red, 0.0)
-                Sd = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
-                Sd = Sd + 1e-8 * jnp.eye(C * 6)
-                dc = jax.scipy.linalg.solve(Sd, b_red.reshape(-1), assume_a="pos")
-                dc = dc.reshape(C, 6)
-                dc = jnp.where(free[:, None], dc, 0.0)
-
-                rhs = bp_m - jnp.einsum("cpij,ci->pj", Hcp_m, dc)
-                dp = jnp.einsum("pij,pj->pi", Hpp_inv, rhs)
-                dp = jnp.where(point_free[:, None], dp, 0.0)
-
-                new_pose = jax.vmap(se3.retract)(cam_pose, dc)
-                new_pts = points + dp
-                c0_l, _, _ = _local_cost(
+                c0, chi2, _ = _local_cost(
                     cam_pose, points, K, obs_cam, obs_uv, obs_inv_sigma2,
                     active_obs, robust,
                 )
+                w = obs_inv_sigma2 * _robust_weight(chi2, robust)
+                w = jnp.where(active_obs, w, 0.0)
+                Hcc, bc, Hpp, bp, U = build_normal_equations(
+                    cam_pose, points, K, obs_cam, obs_uv, w, C
+                )
+                # ---- distributed Schur: local point marginalization; the
+                # reduced camera system is psum'd over the mesh (ICI) inside
+                # schur_solve, points stay shard-local -----------------------
+                dc, dp = schur_solve(
+                    Hcc, bc, Hpp, bp, U, cam_free, point_free, lam,
+                    psum_axis=axis,
+                )
+
+                new_pose = jax.vmap(se3.retract)(cam_pose, dc)
+                new_pts = points + dp
                 c1_l, _, _ = _local_cost(
                     new_pose, new_pts, K, obs_cam, obs_uv, obs_inv_sigma2,
                     active_obs, robust,
                 )
-                c0 = jax.lax.psum(c0_l, axis)
+                c0 = jax.lax.psum(c0, axis)
                 c1 = jax.lax.psum(c1_l, axis)
                 n_bad_dp = jax.lax.psum(
                     (~jnp.isfinite(dp)).sum().astype(jnp.int32), axis

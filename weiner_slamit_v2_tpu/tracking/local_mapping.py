@@ -221,12 +221,20 @@ def _fuse_points_into_kf(
     inv_sigma2_by_oct: jnp.ndarray,
     cfg: SlamConfig,
     max_points: int,
+    window_mult: float = 3.0,
+    prefer_src: bool = False,
 ) -> SlamMap:
     """ORBmatcher::Fuse (jni/ORB_SLAM2/src/ORBmatcher.cc:829-979): project
     candidate map points into keyframe `dst`; a match against a feature that
     already owns a different map point merges the two keeping the
     more-observed one (MapPoint::Replace, src/MapPoint.cc:183-221); a match
-    against a free feature adds an observation."""
+    against a free feature adds an observation.
+
+    window_mult: search radius in units of the predicted level's scale
+    (3.0 in SearchInNeighbors, 4.0 in loop SearchAndFuse —
+    LoopClosing.cc:612). prefer_src=True makes the projected candidate win
+    every merge regardless of observation count (loop fusion semantics,
+    LoopClosing.cc:540-556)."""
     from ..slam_map.point_stats import predict_octave
 
     L = scale_factors.shape[0]
@@ -262,7 +270,7 @@ def _fuse_points_into_kf(
     xy = m.kf_xy[dst]
     du = xy[None, :, 0] - u[:, None]
     dv = xy[None, :, 1] - v[:, None]
-    win = 3.0 * scale_factors[jnp.clip(pred_oct, 0, L - 1)]
+    win = window_mult * scale_factors[jnp.clip(pred_oct, 0, L - 1)]
     in_win = (jnp.abs(du) < win[:, None]) & (jnp.abs(dv) < win[:, None])
     octf = m.kf_octave[dst]
     lvl_ok = (octf[None, :] >= (pred_oct - 1)[:, None]) & (
@@ -295,7 +303,9 @@ def _fuse_points_into_kf(
     # --- merge duplicates (MapPoint::Replace) ------------------------------
     merge = ok & (q >= 0) & (q != p) & m.mp_valid[jnp.maximum(q, 0)]
     qs = jnp.maximum(q, 0)
-    p_wins = n_obs[p] >= n_obs[qs]
+    p_wins = (
+        jnp.ones_like(q, dtype=bool) if prefer_src else n_obs[p] >= n_obs[qs]
+    )
     winner = jnp.where(p_wins, p, qs)
     loser = jnp.where(p_wins, qs, p)
     Mx = m.max_mp
@@ -354,6 +364,13 @@ def fuse_in_neighbors(
         jnp.where(t_ok, targets, m.max_kf)
     ].min(jnp.arange(tt.shape[0], dtype=jnp.int32), mode="drop")
     t_ok = t_ok & (first_hit[jnp.maximum(tt, 0)] == jnp.arange(tt.shape[0]))
+    # cap the sequential fuse at the 32 most covisible targets (the scan's
+    # wall-clock is linear in targets; beyond ~32 the extra 2nd-neighbors
+    # share almost no frustum with the new keyframe)
+    rank = jnp.where(t_ok, W[kf1][jnp.maximum(targets, 0)] + 1, -1)
+    tvals, tsel = jax.lax.top_k(rank, min(32, rank.shape[0]))
+    targets = targets[tsel]
+    t_ok = (tvals > 0) & t_ok[tsel]
 
     def step(m, tv):
         t, ok = tv
@@ -395,18 +412,22 @@ def cull_map_points(m: SlamMap, current_kf, cfg: SlamConfig) -> SlamMap:
     bad = (found_ratio < cfg.mapping.culling_found_ratio) & (age <= 3)
     bad = bad | ((age >= 2) & (age <= 3) & (m.mp_n_obs <= 2))
     bad = bad & m.mp_valid
-    return invalidate_points(m, bad)
+    return invalidate_points(m, bad, rebuild=False)
 
 
-def invalidate_points(m: SlamMap, bad: jnp.ndarray) -> SlamMap:
+def invalidate_points(m: SlamMap, bad: jnp.ndarray, rebuild: bool = True) -> SlamMap:
     """Remove points: clear their kf_obs references and observation lists
-    (MapPoint::SetBadFlag, src/MapPoint.cc:157-181)."""
+    (MapPoint::SetBadFlag, src/MapPoint.cc:157-181).
+
+    rebuild=False defers the observation-list rebuild (a full sort — the
+    single most expensive map maintenance op) to the caller; every consumer
+    of the lists back-checks kf_obs, so stale supersets are safe."""
     mp_valid = m.mp_valid & ~bad
     refd = m.kf_obs >= 0
     still = mp_valid[jnp.maximum(m.kf_obs, 0)]
     kf_obs = jnp.where(refd & ~still, -1, m.kf_obs)
     m = m.replace(mp_valid=mp_valid, kf_obs=kf_obs)
-    return mt.rebuild_observation_lists(m)
+    return mt.rebuild_observation_lists(m) if rebuild else m
 
 
 def cull_keyframes(m: SlamMap, center_kf, cfg: SlamConfig) -> SlamMap:
@@ -455,10 +476,10 @@ def cull_keyframes(m: SlamMap, center_kf, cfg: SlamConfig) -> SlamMap:
     # iterating; one-at-a-time keeps covisibility consistent)
     first = jnp.argmax(cullable)
     do_cull = cullable[first]
-    return invalidate_keyframe(m, jnp.where(do_cull, first, -1))
+    return invalidate_keyframe(m, jnp.where(do_cull, first, -1), rebuild=False)
 
 
-def invalidate_keyframe(m: SlamMap, kf_id) -> SlamMap:
+def invalidate_keyframe(m: SlamMap, kf_id, rebuild: bool = True) -> SlamMap:
     """Remove a keyframe (KeyFrame::SetBadFlag, src/KeyFrame.cc:460-552).
     kf_id = -1 is a no-op. Children re-parent to this keyframe's parent
     (simplified from the reference's max-covis re-parenting)."""
@@ -475,7 +496,7 @@ def invalidate_keyframe(m: SlamMap, kf_id) -> SlamMap:
         kf_parent=jnp.where(do, new_parent, m.kf_parent),
         kf_obs=kf_obs,
     )
-    return mt.rebuild_observation_lists(m)
+    return mt.rebuild_observation_lists(m) if rebuild else m
 
 
 def mapping_step(
@@ -523,8 +544,10 @@ def mapping_step(
             max_points=cfg.capacity.local_ba_points,
         )
         res = solve_ba(prob, cfg.optim.local_ba_iters1, cfg.optim.local_ba_iters2)
-        m = write_back_ba(m, res, prob, cam_ids, point_ids)
+        m = write_back_ba(m, res, prob, cam_ids, point_ids, rebuild=False)
 
     if run_culling:
         m = cull_keyframes(m, new_kf, cfg)
-    return m
+    # single deferred rebuild for all the list mutations above (BA outlier
+    # erase, keyframe cull) — consumers in between back-check kf_obs
+    return mt.rebuild_observation_lists(m)

@@ -68,24 +68,64 @@ class System:
             self.loop_closer = LoopCloser(self.cfg, self.tracker)
         if enable_mapping:
             self.tracker.mapping_hook = self._on_new_keyframe
+            self.tracker.mapper_idle_hook = self.mapper_idle
         self.localization_only = False
+        # in-flight asynchronous mapping pass: (pending map pytree, kf_id)
+        self._pending_map = None
+        self._pending_kf = -1
 
+    # ------------------------------------------------------------------
+    # Pipelined dataflow: the analogue of the reference's LocalMapping
+    # thread + keyframe queue (src/System.cc:156, src/LocalMapping.cc:50-137).
+    # mapping_step is enqueued on the device WITHOUT blocking; tracking keeps
+    # running on the previous (immutable) map snapshot, and the result is
+    # adopted once the device finishes. NeedNewKeyFrame's c1b "local mapper
+    # idle" condition (src/Tracking.cc:1267) maps onto "no mapping in
+    # flight" — exactly the throttle the reference's thread provides.
     # ------------------------------------------------------------------
     def _on_new_keyframe(self, kf_id: int):
         if self.localization_only:
             return
         t = self.tracker
-        t.m = _mapping_step_jit(
+        self._pending_map = _mapping_step_jit(
             t.m, jnp.asarray(kf_id), t.K, t.scale_factors, t.sigma2,
             t.inv_sigma2, self.cfg, n_neighbors=self.mapping_neighbors,
         )
+        self._pending_kf = kf_id
+
+    def mapper_idle(self, force: bool = False) -> bool:
+        """Adopt a finished mapping pass; True when no pass is in flight.
+        force=True blocks until the pending pass completes (the analogue of
+        the reference's InterruptBA + queue drain on c1a)."""
+        if self._pending_map is None:
+            return True
+        if not (force or self._pending_map.kf_pose.is_ready()):
+            return False
+        m = self._pending_map
+        kf_id = self._pending_kf
+        self._pending_map = None
+        self._pending_kf = -1
+        t = self.tracker
+        t.m = m
+        # mapping may have adjusted poses: refresh the cached last pose when
+        # the tracker is still referencing the mapped keyframe
+        if t.ref_kf == kf_id:
+            t.last_Tcw = t.m.kf_pose[kf_id]
         if self.loop_closer is not None:
             self.loop_closer.on_keyframe(kf_id)
+        return True
+
+    def finish(self):
+        """Drain the pipeline (System::Shutdown analogue,
+        src/System.cc:382-399): block until any in-flight mapping pass is
+        adopted. Call before map export/eval."""
+        self.mapper_idle(force=True)
 
     # ------------------------------------------------------------------
     def track_monocular(self, image: np.ndarray, timestamp: float) -> TrackerOutput:
         """Per-frame entry (System::TrackMonocular, src/System.cc:307-361).
         image: (H, W) grayscale float or uint8."""
+        self.mapper_idle()  # adopt a finished mapping pass, never blocks
         img = np.asarray(image, dtype=np.float32)
         return self.tracker.process_frame(img, timestamp)
 
@@ -94,6 +134,7 @@ class System:
     ) -> TrackerOutput:
         """RGB-D entry (System::TrackRGBD, src/System.cc:260-305):
         depth-based initialization + depth-backed new map points."""
+        self.mapper_idle()
         return self.tracker.process_frame(
             np.asarray(image, np.float32), timestamp,
             depth=np.asarray(depth, np.float32),
@@ -104,6 +145,7 @@ class System:
     ) -> TrackerOutput:
         """Stereo entry (System::TrackStereo, src/System.cc:215-258):
         row-banded stereo matching supplies per-feature depth."""
+        self.mapper_idle()
         return self.tracker.process_frame(
             np.asarray(left, np.float32), timestamp,
             image_right=np.asarray(right, np.float32),
@@ -121,6 +163,8 @@ class System:
 
     def reset(self):
         """System::Reset (src/System.cc:375)."""
+        self._pending_map = None
+        self._pending_kf = -1
         self.tracker.reset()
         self.tracker.trajectory.clear()
         self.tracker.frame_id = -1
@@ -128,6 +172,7 @@ class System:
     # ------------------------------------------------------------------
     @property
     def map(self):
+        self.mapper_idle(force=True)  # external views see a drained pipeline
         return self.tracker.m
 
     def n_keyframes(self) -> int:
@@ -138,10 +183,12 @@ class System:
 
     # ------------------------------------------------------------------
     def save_trajectory_tum(self, path: str):
+        self.finish()
         ts, Twc = self.tracker.trajectory_Twc()
         traj_io.save_tum(path, ts, Twc)
 
     def save_trajectory_kitti(self, path: str):
+        self.finish()
         _, Twc = self.tracker.trajectory_Twc()
         traj_io.save_kitti(path, Twc)
 

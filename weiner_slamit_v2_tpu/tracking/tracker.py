@@ -665,8 +665,16 @@ class Tracker:
         self.last_reloc_frame = -(10**9)
         self.init_feats: Optional[FrameFeatures] = None
         self._cur_depth: Optional[jnp.ndarray] = None
-        self.trajectory: list[tuple[float, jnp.ndarray]] = []
+        # per-frame trajectory log: (timestamp, T_cr = Tcw · Tref^-1, ref_kf)
+        # — relative to the reference keyframe, like the reference's
+        # (mlRelativeFramePoses, mlpReferences) lists (src/Tracking.cc:666-694)
+        # so that loop/BA corrections propagate into the export
+        # (System::SaveTrajectoryTUM, src/System.cc:401-454).
+        self.trajectory: list[tuple[float, jnp.ndarray, int]] = []
         self.mapping_hook = None  # set by System: called with (new_kf_id)
+        # mapper_idle_hook(force=False) -> bool: adopt finished async mapping
+        # output / report idleness (System.mapper_idle); None = always idle
+        self.mapper_idle_hook = None
         self.allow_keyframes = True  # cleared in localization-only mode
         from ..bow.database import BowIndex
 
@@ -724,9 +732,11 @@ class Tracker:
             out = self._relocalize(feats, timestamp)
 
         if out.Tcw is not None:
-            self.trajectory.append((timestamp, out.Tcw))
+            T_cr = jnp.asarray(out.Tcw) @ se3.inv(self.m.kf_pose[self.ref_kf])
+            self.trajectory.append((timestamp, T_cr, self.ref_kf))
         elif self.trajectory:
-            self.trajectory.append((timestamp, self.trajectory[-1][1]))
+            last = self.trajectory[-1]
+            self.trajectory.append((timestamp, last[1], last[2]))
         return out
 
     def _initialize_with_depth(
@@ -932,10 +942,21 @@ class Tracker:
             and n_kf_valid > cfg.tracking.max_frames_between_kf
         ):
             return False
-        c1a = self.frame_id >= self.last_kf_frame + cfg.tracking.max_frames_between_kf
-        c1b = self.frame_id >= self.last_kf_frame + cfg.tracking.min_frames_between_kf
         c2 = (n_inliers < n_ref * cfg.tracking.keyframe_min_ratio) and n_inliers > 15
-        return bool((c1a or c1b) and c2)
+        if not c2:
+            return False
+        c1a = self.frame_id >= self.last_kf_frame + cfg.tracking.max_frames_between_kf
+        idle = self.mapper_idle_hook() if self.mapper_idle_hook else True
+        # c1b requires the local mapper to be idle (Tracking.cc:1267); c1a
+        # forces insertion, draining the pipeline first (the InterruptBA +
+        # queue-drain analogue, Tracking.cc:1287-1303)
+        c1b = (
+            self.frame_id >= self.last_kf_frame + cfg.tracking.min_frames_between_kf
+        ) and idle
+        if c1a and not idle:
+            self.mapper_idle_hook(force=True)
+            idle = True
+        return bool(c1a or c1b)
 
     def _create_keyframe(self, feats, Tcw, cur_obs, ts):
         """CreateNewKeyFrame (src/Tracking.cc:1312-1407) + synchronous
@@ -963,10 +984,9 @@ class Tracker:
         self.last_kf_frame = self.frame_id
         self._register_kf_bow(kf)
         if self.mapping_hook is not None:
+            # asynchronous: enqueues the mapping pass; the result is adopted
+            # by mapper_idle_hook once the device finishes (tracking/system.py)
             self.mapping_hook(kf)
-            # mapping may have adjusted poses: refresh the cached last pose
-            self.last_Tcw = self.m.kf_pose[kf]
-            self.last_obs = self.m.kf_obs[kf]
 
     # ------------------------------------------------------------------
     def _register_kf_bow(self, kf: int) -> None:
@@ -1090,10 +1110,19 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def trajectory_Twc(self) -> tuple[np.ndarray, np.ndarray]:
-        """(timestamps (F,), Twc (F,4,4)) for export/eval. Poses are kept on
-        device during tracking; this stacks them into one array and performs
-        a single device->host transfer."""
-        ts = np.asarray([t for t, _ in self.trajectory])
-        Tcw = np.asarray(jnp.stack([jnp.asarray(p) for _, p in self.trajectory]))
+        """(timestamps (F,), Twc (F,4,4)) for export/eval.
+
+        Each frame's pose is recomposed from its logged keyframe-relative
+        transform and the reference keyframe's CURRENT pose, so loop-closure
+        and BA corrections propagate into the export exactly like
+        System::SaveTrajectoryTUM (src/System.cc:401-454). Per-frame
+        relatives stay on device during tracking; this is one stacked
+        device->host transfer."""
+        if not self.trajectory:
+            return np.zeros(0), np.zeros((0, 4, 4))
+        ts = np.asarray([t for t, _, _ in self.trajectory])
+        T_cr = jnp.stack([jnp.asarray(p) for _, p, _ in self.trajectory])
+        refs = jnp.asarray([r for _, _, r in self.trajectory], jnp.int32)
+        Tcw = np.asarray(T_cr @ self.m.kf_pose[refs])
         Twc = np.linalg.inv(Tcw)
         return ts, Twc
