@@ -28,7 +28,9 @@ TIMED_FRAMES = 100
 def main():
     import jax.numpy as jnp
 
-    from weiner_slamit_v2_tpu.config import SlamConfig, CameraConfig, OrbConfig
+    from weiner_slamit_v2_tpu.config import (
+        SlamConfig, CameraConfig, OrbConfig, TrackingConfig,
+    )
     from weiner_slamit_v2_tpu.geometry.camera import Camera
     from weiner_slamit_v2_tpu.io.datasets import make_synthetic_sequence
     from weiner_slamit_v2_tpu.tracking.system import System
@@ -43,6 +45,10 @@ def main():
             fx=fx, fy=fy, cx=cx, cy=cy, k1=0, k2=0, p1=0, p2=0, k3=0,
             width=W, height=H,
         ),
+        # real-time cadence: the mapper turns a keyframe around in ~8 frames
+        # (the reference's thread does the same under load; c1a still forces
+        # insertion after max_frames_between_kf)
+        tracking=TrackingConfig(mapping_latency_frames=8),
     )
     cam = Camera.create(fx, fy, cx, cy, width=W, height=H)
 

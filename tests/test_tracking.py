@@ -107,6 +107,7 @@ class TestStrafeSequence:
         sys_, states = run_sequence(seq)
         ok = [s for s in states if s.state == "OK"]
         assert len(ok) > 8
+        sys_.finish()  # drain the pipelined mapping before export
         ts, Twc = sys_.tracker.trajectory_Twc()
         gt = seq.gt_Twc[-len(Twc):]
         assert ate_rmse(Twc, gt) < 0.06

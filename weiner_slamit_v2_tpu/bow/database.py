@@ -53,6 +53,24 @@ def erase_keyframe_bow(db: KeyframeDatabase, kf_id: jnp.ndarray) -> KeyframeData
     )
 
 
+@jax.jit
+def build_db_from_keyframes(
+    vocab: Vocabulary,
+    kf_desc: jnp.ndarray,        # (K, N, 8)
+    kf_feat_valid: jnp.ndarray,  # (K, N)
+    kf_valid: jnp.ndarray,       # (K,)
+) -> KeyframeDatabase:
+    """Re-index every valid keyframe in one batched pass (used after the
+    vocabulary is (re)trained — the reference parses a fixed ORBvoc.txt once
+    and never retrains, but its 1M-word tree was trained offline on a large
+    corpus; retraining as the map grows is our substitute for that corpus)."""
+    K, N, _ = kf_desc.shape
+    words, _ = transform(vocab, kf_desc.reshape(K * N, 8), kf_feat_valid.reshape(K * N))
+    rows = jax.vmap(lambda w: bow_vector(vocab, w))(words.reshape(K, N))
+    rows = jnp.where(kf_valid[:, None], rows, 0.0)
+    return KeyframeDatabase(bow=rows, has_entry=kf_valid)
+
+
 def _common_words(db: KeyframeDatabase, v: jnp.ndarray) -> jnp.ndarray:
     """(K,) number of vocabulary words shared with the query."""
     return jnp.sum((db.bow > 0) & (v[None, :] > 0), axis=1).astype(jnp.int32)
@@ -135,6 +153,29 @@ class BowIndex:
             for kf_id, d, dv in self._pending:
                 self.add(kf_id, d, dv)
             self._pending = []
+
+    def retrain(
+        self,
+        kf_desc: jnp.ndarray,
+        kf_feat_valid: jnp.ndarray,
+        kf_valid: jnp.ndarray,
+        key,
+    ) -> None:
+        """Re-train the vocabulary on the full accumulated keyframe corpus
+        and re-index every valid keyframe (vocabulary lifecycle: the initial
+        ~4-keyframe vocabulary leaves most words empty and its idf frozen —
+        place recognition sharpens considerably with a larger corpus)."""
+        from .vocabulary import train_vocabulary
+
+        K, N, _ = kf_desc.shape
+        self.vocab = train_vocabulary(
+            kf_desc.reshape(K * N, 8),
+            kf_feat_valid.reshape(K * N) & jnp.repeat(kf_valid, N),
+            key, branching=self.branching, depth=self.depth,
+        )
+        self.db = build_db_from_keyframes(
+            self.vocab, kf_desc, kf_feat_valid, kf_valid
+        )
 
     def add(self, kf_id: int, desc: jnp.ndarray, valid: jnp.ndarray) -> None:
         if self.vocab is None:

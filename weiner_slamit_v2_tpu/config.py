@@ -76,6 +76,12 @@ class TrackingConfig:
     min_frames_between_kf: int = 0   # mMinFrames (Tracking.cc:124)
     reloc_min_inliers: int = 50     # Tracking.cc:1816
     auto_reset_max_kfs: int = 5     # Tracking.cc:649
+    # Minimum frames the mapper is considered busy after a keyframe — the
+    # synchronous-device analogue of the reference's LocalMapping thread
+    # latency that gates c1b (bLocalMappingIdle, Tracking.cc:1267). The
+    # reference mapper takes ~3-10 camera frames per keyframe on its target
+    # hardware; c1a still forces insertion past max_frames_between_kf.
+    mapping_latency_frames: int = 3
 
 
 @dataclass(frozen=True)
@@ -122,8 +128,12 @@ class MapCapacityConfig:
     max_keyframes: int = 256
     max_map_points: int = 16384
     max_obs_per_point: int = 32
-    local_ba_window: int = 32   # max active cams in a local BA solve
-    local_ba_points: int = 4096  # max points in a local BA solve
+    # Local BA extent: the reference optimizes all covisible keyframes
+    # (typically 10-30 on TUM-scale maps) + fixed boundary cameras. 16+16
+    # cam slots and 2048 point slots cover that while keeping the per-KF
+    # solve ~2x cheaper than the previous 32/4096 bounds.
+    local_ba_window: int = 16   # max active cams in a local BA solve
+    local_ba_points: int = 2048  # max points in a local BA solve
 
 
 @dataclass(frozen=True)

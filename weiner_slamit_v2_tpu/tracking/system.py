@@ -73,6 +73,7 @@ class System:
         # in-flight asynchronous mapping pass: (pending map pytree, kf_id)
         self._pending_map = None
         self._pending_kf = -1
+        self._mapping_enqueued_frame = -(10**9)
 
     # ------------------------------------------------------------------
     # Pipelined dataflow: the analogue of the reference's LocalMapping
@@ -92,6 +93,7 @@ class System:
             t.inv_sigma2, self.cfg, n_neighbors=self.mapping_neighbors,
         )
         self._pending_kf = kf_id
+        self._mapping_enqueued_frame = t.frame_id
 
     def mapper_idle(self, force: bool = False) -> bool:
         """Adopt a finished mapping pass; True when no pass is in flight.
@@ -99,6 +101,12 @@ class System:
         the reference's InterruptBA + queue drain on c1a)."""
         if self._pending_map is None:
             return True
+        # frame-based latency floor: the per-frame scalar sync drains the
+        # device queue (so is_ready alone would report idle immediately);
+        # this models the reference mapper's multi-frame turnaround
+        busy_frames = self.tracker.frame_id - self._mapping_enqueued_frame
+        if not force and busy_frames < self.cfg.tracking.mapping_latency_frames:
+            return False
         if not (force or self._pending_map.kf_pose.is_ready()):
             return False
         m = self._pending_map

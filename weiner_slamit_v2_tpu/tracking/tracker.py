@@ -1002,6 +1002,14 @@ class Tracker:
             self.bow.maybe_train(
                 desc, valid, jax.random.PRNGKey(self.cfg.seed + 7)
             )
+        elif self.n_kf_host in (16, 64):
+            # vocabulary lifecycle: retrain on the accumulated corpus and
+            # re-index all keyframes (the initial tiny-corpus vocabulary has
+            # mostly-empty words and a frozen idf)
+            self.bow.retrain(
+                m.kf_desc, m.kf_feat_valid, m.kf_valid,
+                jax.random.PRNGKey(self.cfg.seed + 7 + self.n_kf_host),
+            )
 
     def _reloc_candidates(self, feats: FrameFeatures) -> list[int]:
         """BoW candidate keyframes for relocalization
