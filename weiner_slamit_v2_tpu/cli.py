@@ -27,6 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sequence", default="00", help="KITTI sequence id")
     p.add_argument("--sensor", choices=["mono", "rgbd", "stereo"], default="mono")
     p.add_argument("--config", help="YAML config (defaults = reference values)")
+    p.add_argument("--preset", help="dataset calibration preset (e.g. tum_fr1,"
+                   " tum_fr2, kitti_00, euroc; default: inferred from --dataset)")
     p.add_argument("--frames", type=int, default=None, help="max frames")
     p.add_argument("--out", help="trajectory output path (TUM format)")
     p.add_argument("--out-kitti", help="trajectory output path (KITTI format)")
@@ -61,7 +63,15 @@ def load_sequence(args):
     if not args.root:
         raise SystemExit("--root is required for real datasets")
     if args.dataset == "tum":
-        return datasets.load_tum_rgbd(args.root, max_frames=args.frames), None
+        from .presets import preset
+
+        dmf = preset(args.preset or "tum").camera.depth_map_factor
+        return (
+            datasets.load_tum_rgbd(
+                args.root, max_frames=args.frames, depth_map_factor=dmf
+            ),
+            None,
+        )
     if args.dataset == "kitti":
         return (
             datasets.load_kitti_odometry(
@@ -81,6 +91,15 @@ def main(argv=None) -> int:
 
     if args.config:
         cfg = load_config(args.config)
+    elif args.preset or args.dataset in ("tum", "kitti", "euroc"):
+        # per-dataset calibration presets (the reference hardcodes one
+        # device's calibration — Tracking.cc:76-105; see presets.py)
+        from .presets import preset
+
+        name = args.preset or (
+            f"kitti_{args.sequence}" if args.dataset == "kitti" else args.dataset
+        )
+        cfg = preset(name)
     else:
         cfg = SlamConfig()
 
@@ -107,12 +126,15 @@ def main(argv=None) -> int:
         else:
             out = sys_.track_monocular(f.image, f.timestamp)
         n_ok += out.state == "OK"
+        # NOTE: no per-frame map access here — sys_.map force-drains the
+        # pipelined mapping pass (and costs a device sync)
         print(
             f"[{i:5d}] {out.state:15s} inliers={out.n_inliers:4d} "
-            f"kf={sys_.n_keyframes():3d} mp={sys_.n_map_points():6d}",
+            f"kf={sys_.tracker.n_kf_host:3d}",
             file=sys.stderr,
         )
     wall = time.time() - t0
+    sys_.finish()
 
     if args.out:
         sys_.save_trajectory_tum(args.out)

@@ -64,9 +64,10 @@ class TrackingConfig:
     init_min_matches: int = 100     # Tracking.cc:800-803
     init_window: float = 100.0      # search window px (Tracking.cc:799)
     min_matches_refkf: int = 15     # Tracking.cc:989
-    min_inliers_refkf: int = 10     # Tracking.cc:1023
     min_matches_motion: int = 20    # Tracking.cc:1125
-    min_inliers_motion: int = 10    # Tracking.cc:1160
+    # post-optimization inlier floor — 10 on BOTH the motion-model and
+    # ref-KF paths (Tracking.cc:1023, :1160)
+    min_inliers_motion: int = 10
     min_inliers_localmap: int = 30  # Tracking.cc:1206
     min_inliers_localmap_reloc: int = 50  # Tracking.cc:1200
     motion_search_window: float = 15.0    # mono th (Tracking.cc:1108)
@@ -115,8 +116,9 @@ class OptimConfig:
     local_ba_iters2: int = 10       # Optimizer.cc:672
     global_ba_iters: int = 20       # LoopClosing.cc:662
     essential_graph_iters: int = 20  # Optimizer.cc:987
-    huber_mono: float = 2.447651936  # sqrt(5.991) (Optimizer.cc:287)
-    huber_stereo: float = 2.795      # sqrt(7.815)
+    # Huber deltas are sqrt(chi2_mono) / sqrt(chi2_stereo) everywhere in the
+    # reference (Optimizer.cc:287,295) — derived from MappingConfig.chi2_*,
+    # not separate knobs.
     lm_lambda_init: float = 1e-4
     essential_lambda_init: float = 1e-16  # Optimizer.cc:806
 

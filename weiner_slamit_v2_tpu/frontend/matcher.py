@@ -73,6 +73,7 @@ def match_with_window(
     mutual: bool = False,
     angle1: jnp.ndarray | None = None,
     angle2: jnp.ndarray | None = None,
+    histo_bins: int = HISTO_LENGTH,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Generic windowed matcher: for each row i of set 1 find the best column
     j of set 2 with |xy2[j] - pred_xy[i]|_inf < window[i].
@@ -114,7 +115,7 @@ def match_with_window(
         ok = ok & (bwd[idx] == jnp.arange(n1))
 
     if angle1 is not None and angle2 is not None:
-        ok = rotation_consistency_mask(angle1, angle2[idx], ok)
+        ok = rotation_consistency_mask(angle1, angle2[idx], ok, n_bins=histo_bins)
 
     # de-duplicate columns: if two rows matched the same column, keep the
     # closer one (the reference overwrites by distance in Fuse/SearchByProj).
@@ -184,6 +185,7 @@ def match_by_descriptor(
     nn_ratio: float | jnp.ndarray = 0.75,
     angle1: jnp.ndarray | None = None,
     angle2: jnp.ndarray | None = None,
+    histo_bins: int = HISTO_LENGTH,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Unwindowed brute-force matching with ratio test (the array equivalent
     of SearchByBoW's within-vocabulary-node brute force — on TPU the full
@@ -198,6 +200,6 @@ def match_by_descriptor(
         ).astype(jnp.float32)
     )
     if angle1 is not None and angle2 is not None:
-        ok = rotation_consistency_mask(angle1, angle2[idx], ok)
+        ok = rotation_consistency_mask(angle1, angle2[idx], ok, n_bins=histo_bins)
     ok = ok & _column_unique_best(idx, best, ok, desc2.shape[0])
     return jnp.where(ok, idx, -1), best

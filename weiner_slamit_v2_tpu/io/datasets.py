@@ -55,9 +55,14 @@ def _load_gray(path: str) -> np.ndarray:
 
 
 def load_tum_rgbd(
-    root: str, max_frames: int | None = None, with_depth: bool = True
+    root: str,
+    max_frames: int | None = None,
+    with_depth: bool = True,
+    depth_map_factor: float = 5000.0,
 ) -> Sequence:
-    """Load a TUM RGB-D sequence directory (rgb.txt / depth.txt / groundtruth.txt)."""
+    """Load a TUM RGB-D sequence directory (rgb.txt / depth.txt /
+    groundtruth.txt). depth_map_factor: 16-bit depth units per meter
+    (CameraConfig.depth_map_factor; 5000 for TUM)."""
 
     def read_list(name):
         entries = []
@@ -86,7 +91,7 @@ def load_tum_rgbd(
         if dts is not None and len(dts):
             j = int(np.argmin(np.abs(dts - ts)))
             if abs(dts[j] - ts) < 0.02:
-                d = _load_gray(os.path.join(root, depth[j][1])) / 5000.0
+                d = _load_gray(os.path.join(root, depth[j][1])) / depth_map_factor
         frames.append(FrameData(timestamp=ts, image=_load_gray(os.path.join(root, rel)), depth=d))
 
     gt = None
@@ -154,7 +159,39 @@ def load_euroc(root: str, max_frames: int | None = None) -> Sequence:
         FrameData(timestamp=ts, image=_load_gray(os.path.join(cam_dir, "data", name)))
         for ts, name in entries
     ]
-    return Sequence(frames=frames, gt_Twc=None)
+    # ground truth: state_groundtruth_estimate0/data.csv rows are
+    # [t_ns, p_x, p_y, p_z, q_w, q_x, q_y, q_z, ...] in the world frame
+    gt = None
+    gt_csv = os.path.join(
+        root, "mav0", "state_groundtruth_estimate0", "data.csv"
+    )
+    if os.path.exists(gt_csv) and frames:
+        ts_list, pos, quat = [], [], []
+        with open(gt_csv) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split(",")
+                ts_list.append(int(parts[0]) * 1e-9)
+                pos.append([float(x) for x in parts[1:4]])
+                quat.append([float(x) for x in parts[4:8]])  # w x y z
+        if ts_list:
+            gts = np.asarray(ts_list)
+            pos = np.asarray(pos)
+            quat = np.asarray(quat)
+            gt = np.tile(np.eye(4), (len(frames), 1, 1))
+            for i, fr in enumerate(frames):
+                j = int(np.argmin(np.abs(gts - fr.timestamp)))
+                w, x, y, z = quat[j]
+                R = np.array([
+                    [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                    [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                    [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+                ])
+                gt[i, :3, :3] = R
+                gt[i, :3, 3] = pos[j]
+    return Sequence(frames=frames, gt_Twc=gt)
 
 
 # ---------------------------------------------------------------------------

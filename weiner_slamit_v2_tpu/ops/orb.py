@@ -18,14 +18,6 @@ from . import pattern as pat
 from .patches import extract_patches, sample_in_patch
 
 
-def patch_gather(image: jnp.ndarray, xy: jnp.ndarray, half: int) -> jnp.ndarray:
-    """Gather square patches around integer keypoint coords.
-
-    image: (H, W); xy: (N, 2) float (x, y). Returns (N, 2*half+1, 2*half+1).
-    """
-    return extract_patches(image, xy, half)
-
-
 def orientations(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid orientation per keypoint, radians in (-pi, pi].
 

@@ -29,36 +29,3 @@ def covisibility_matrix(m: SlamMap) -> jnp.ndarray:
     W = W * (1 - jnp.eye(K, dtype=jnp.int32))
     vv = m.kf_valid
     return jnp.where(vv[:, None] & vv[None, :], W, 0)
-
-
-def best_covisible(
-    W: jnp.ndarray, kf_id: jnp.ndarray, k: int, min_weight: int = MIN_COVIS_WEIGHT
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Top-k covisible neighbors of kf_id by weight.
-
-    Returns (ids (k,) int32 with -1 padding, weights (k,)). Mirrors
-    GetBestCovisibilityKeyFrames (KeyFrame.cc:142) including the reference's
-    rule that the single best neighbor is kept even below the threshold.
-    """
-    row = W[kf_id]
-    import jax
-
-    vals, idx = jax.lax.top_k(row, k)
-    ok = vals >= min_weight
-    ok = ok.at[0].set(vals[0] > 0)  # always keep the best connection
-    return jnp.where(ok, idx, -1), jnp.where(ok, vals, 0)
-
-
-def local_keyframes(
-    W: jnp.ndarray, obs_counts_in_frame: jnp.ndarray, cap: int
-) -> jnp.ndarray:
-    """Keyframes sharing observations with the current frame, best first.
-
-    obs_counts_in_frame: (K,) — how many of the frame's tracked map points
-    each keyframe observes (the vote counting of UpdateLocalKeyFrames,
-    src/Tracking.cc:1512-1570). Returns (cap,) kf ids, -1 padded.
-    """
-    import jax
-
-    vals, idx = jax.lax.top_k(obs_counts_in_frame, cap)
-    return jnp.where(vals > 0, idx, -1)

@@ -410,7 +410,10 @@ def cull_map_points(m: SlamMap, current_kf, cfg: SlamConfig) -> SlamMap:
         m.mp_visible.astype(jnp.float32), 1.0
     )
     bad = (found_ratio < cfg.mapping.culling_found_ratio) & (age <= 3)
-    bad = bad | ((age >= 2) & (age <= 3) & (m.mp_n_obs <= 2))
+    bad = bad | (
+        (age >= 2) & (age <= 3)
+        & (m.mp_n_obs <= cfg.mapping.culling_min_obs - 1)
+    )
     bad = bad & m.mp_valid
     return invalidate_points(m, bad, rebuild=False)
 

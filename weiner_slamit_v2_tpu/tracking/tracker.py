@@ -94,6 +94,7 @@ def _track_last_frame(
     n_levels: int,
     nn_ratio: jnp.ndarray,
     th_high: jnp.ndarray,
+    histo_bins: int = matcher.HISTO_LENGTH,
 ):
     """SearchByProjection last->current (ORBmatcher.cc:1332-1474): project
     the last frame's tracked map points with the predicted pose and match
@@ -133,6 +134,7 @@ def _track_last_frame(
         octave_hi=jnp.clip(last_octave + 1, 0, n_levels - 1),
         angle1=last_angle,
         angle2=feats.angle,
+        histo_bins=histo_bins,
     )
     n = feats.xy.shape[0]
     cur_obs = jnp.full((n,), -1, jnp.int32)
@@ -149,6 +151,7 @@ def _match_reference_kf(
     ref_kf: jnp.ndarray,
     nn_ratio: jnp.ndarray,
     th_low: jnp.ndarray,
+    histo_bins: int = matcher.HISTO_LENGTH,
 ):
     """TrackReferenceKeyFrame's matching stage (src/Tracking.cc:977-1024):
     descriptor matching (the reference brute-forces within shared BoW nodes;
@@ -159,6 +162,7 @@ def _match_reference_kf(
         m.kf_desc[ref_kf], feats.desc, ref_has, feats.valid,
         max_dist=th_low, nn_ratio=nn_ratio,
         angle1=m.kf_angle[ref_kf], angle2=feats.angle,
+        histo_bins=histo_bins,
     )
     n = feats.n
     ok = idx >= 0
@@ -325,7 +329,7 @@ N_SCALARS = 7
     jax.jit,
     static_argnames=(
         "n_levels", "max_local_points", "local_kf_cap",
-        "pose_rounds", "pose_iters",
+        "pose_rounds", "pose_iters", "histo_bins",
     ),
 )
 def _track_step(
@@ -347,6 +351,7 @@ def _track_step(
     local_kf_cap: int,
     pose_rounds: int,
     pose_iters: int,
+    histo_bins: int,
 ):
     """One fused tracking step (Tracking::Track, src/Tracking.cc:385-694,
     OK-state branch). Returns (map-with-updated-counters, Tcw, cur_obs,
@@ -358,6 +363,7 @@ def _track_step(
         return _track_last_frame(
             m, feats, last_obs, last_octave, last_angle, Tcw_pred, K,
             window, scale_factors, n_levels, p.nn_ratio_motion, p.th_high,
+            histo_bins,
         )
 
     obs_a, n_a = motion(p.motion_window)
@@ -371,7 +377,9 @@ def _track_step(
     need_ref = n_b < p.min_matches_motion
     obs_c, n_c = jax.lax.cond(
         need_ref,
-        lambda: _match_reference_kf(m, feats, ref_kf, p.nn_ratio_refkf, p.th_low),
+        lambda: _match_reference_kf(
+            m, feats, ref_kf, p.nn_ratio_refkf, p.th_low, histo_bins
+        ),
         lambda: (obs_b, n_b),
     )
     Tcw0 = jnp.where(need_ref, last_Tcw, Tcw_pred)
@@ -864,6 +872,7 @@ class Tracker:
             local_kf_cap=cfg.tracking.local_map_kf_cap,
             pose_rounds=cfg.optim.pose_opt_rounds,
             pose_iters=cfg.optim.pose_opt_iters,
+            histo_bins=cfg.matcher.histo_length,
         )
         s = np.asarray(scalars)  # the ONE device->host sync of the frame
         n_matches = int(s[S_N_MATCHES])
