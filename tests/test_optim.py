@@ -235,3 +235,51 @@ class TestSlamMap:
         assert int(W[0, 1]) == 5 and int(W[1, 0]) == 5
         assert int(W[0, 0]) == 0
         assert int(m.mp_n_obs[0]) == 2
+
+
+class TestStereoEdges:
+    """3-dof stereo BA edges (EdgeStereoSE3ProjectXYZ, Optimizer.cc:274-310):
+    the right-u residual adds direct depth information, so the solve must
+    beat the mono-only solve on the same noisy problem."""
+
+    def _pose_err(self, est, gt, valid):
+        err = 0.0
+        for i in range(gt.shape[0]):
+            if not valid[i]:
+                continue
+            d = np.asarray(se3.log(jnp.asarray(est[i]) @ se3.inv(jnp.asarray(gt[i]))))
+            err += float(np.linalg.norm(d))
+        return err
+
+    def test_stereo_edges_tighten_ba(self):
+        prob, gt_poses, X_gt = make_ba_problem(
+            n_cams=6, n_pts=150, pose_noise=0.08, point_noise=0.10,
+            pix_noise=0.7, seed=4,
+        )
+        # synthesize right-image u: u_r = u - bf/z at the TRUE geometry
+        bf = 50.0
+        cams = np.maximum(np.asarray(prob.obs_cam), 0)
+        Pc = np.asarray(
+            se3.apply(gt_poses[jnp.asarray(cams)], jnp.asarray(X_gt)[:, None, :])
+        )
+        z = np.maximum(Pc[..., 2], 1e-6)
+        fx, cx = 500.0, 320.0
+        u_true = fx * Pc[..., 0] / z + cx
+        rng = np.random.default_rng(9)
+        ur = (u_true - bf / z + rng.normal(0, 0.7, z.shape)).astype(np.float32)
+        has = np.asarray(prob.obs_valid)
+
+        prob_st = prob.replace(
+            obs_ur=jnp.asarray(ur),
+            obs_has_ur=jnp.asarray(has),
+            bf=jnp.asarray(bf, jnp.float32),
+        )
+        res_mono = solve_ba(prob, 5, 10)
+        res_st = solve_ba(prob_st, 5, 10)
+        valid = np.asarray(prob.cam_valid & ~prob.cam_fixed)
+        e_mono = self._pose_err(np.asarray(res_mono.cam_pose), np.asarray(gt_poses), valid)
+        e_st = self._pose_err(np.asarray(res_st.cam_pose), np.asarray(gt_poses), valid)
+        assert np.isfinite(e_st)
+        assert e_st < e_mono, f"stereo {e_st} !< mono {e_mono}"
+        # stereo chi2 gate is the 3-dof 7.815 (most noisy obs stay inliers)
+        assert int(res_st.obs_inlier.sum()) > 0.8 * has.sum()

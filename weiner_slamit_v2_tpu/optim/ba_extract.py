@@ -26,6 +26,7 @@ def extract_local_ba(
     window: int,
     n_fixed: int,
     max_points: int,
+    bf: float = 0.0,
 ) -> tuple[BAProblem, jnp.ndarray, jnp.ndarray]:
     """Build a local BA problem around `center_kf`.
 
@@ -91,6 +92,7 @@ def extract_local_ba(
     obs_valid = obs_ok & (obs_cam >= 0) & backref
 
     cam_ok = cam_ids >= 0
+    ur = m.kf_ur[kf_safe, obs_feat]
     prob = BAProblem(
         cam_pose=m.kf_pose[jnp.maximum(cam_ids, 0)],
         cam_fixed=jnp.arange(C) >= active.shape[0],
@@ -102,6 +104,11 @@ def extract_local_ba(
         obs_inv_sigma2=inv_s2,
         obs_valid=obs_valid,
         K=K,
+        # stereo right-u observations (kf_ur = mvuRight); compiled out for
+        # monocular sessions (bf == 0)
+        obs_ur=ur if bf > 0 else None,
+        obs_has_ur=(ur >= 0) & obs_valid if bf > 0 else None,
+        bf=jnp.asarray(bf, jnp.float32) if bf > 0 else None,
     )
     return prob, cam_ids, point_ids
 
@@ -111,6 +118,7 @@ def extract_global_ba(
     K: jnp.ndarray,
     inv_sigma2_by_octave: jnp.ndarray,
     gauge_kf: int = 0,
+    bf: float = 0.0,
 ) -> tuple[BAProblem, jnp.ndarray, jnp.ndarray]:
     """Build the full-map BA problem (GlobalBundleAdjustemnt [sic],
     Optimizer.cc:41-47): every valid keyframe and point, gauge fixed at
@@ -126,6 +134,7 @@ def extract_global_ba(
     backref = m.kf_obs[kf_safe, obs_feat] == jnp.arange(m.max_mp)[:, None]
     obs_ok = (obs_kfs >= 0) & m.mp_valid[:, None] & m.kf_valid[kf_safe] & backref
     octv = m.kf_octave[kf_safe, obs_feat]
+    ur = m.kf_ur[kf_safe, obs_feat]
     prob = BAProblem(
         cam_pose=m.kf_pose,
         cam_fixed=jnp.arange(C) == gauge_kf,
@@ -139,6 +148,9 @@ def extract_global_ba(
         ],
         obs_valid=obs_ok,
         K=K,
+        obs_ur=ur if bf > 0 else None,
+        obs_has_ur=(ur >= 0) & obs_ok if bf > 0 else None,
+        bf=jnp.asarray(bf, jnp.float32) if bf > 0 else None,
     )
     return prob, cam_ids, point_ids
 

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from ..geometry import se3
 
 CHI2_MONO = 5.991
+CHI2_STEREO = 7.815  # 3-dof 95% gate (EdgeStereoSE3ProjectXYZ, Optimizer.cc:295)
 HUBER2 = 5.991  # Huber delta^2 (delta = sqrt(5.991), Optimizer.cc:536)
 
 
@@ -53,6 +54,12 @@ class BAProblem:
     obs_inv_sigma2: jnp.ndarray  # (P, O)
     obs_valid: jnp.ndarray     # (P, O) bool
     K: jnp.ndarray             # (3, 3)
+    # stereo observations (EdgeStereoSE3ProjectXYZ, Optimizer.cc:274-310):
+    # right-image u coordinate per observation, -1/has=False for monocular.
+    # None = all-mono problem (the stereo row is compiled out).
+    obs_ur: jnp.ndarray | None = None        # (P, O)
+    obs_has_ur: jnp.ndarray | None = None    # (P, O) bool
+    bf: jnp.ndarray | None = None            # () baseline * fx
 
 
 @flax.struct.dataclass
@@ -73,11 +80,14 @@ def _pose_rows_by_obs(cam_pose, obs_cam, C):
     return onehot @ rows, onehot
 
 
-def _project_planes(cam_pose, points, K, obs_cam, obs_uv, C):
+def _project_planes(cam_pose, points, K, obs_cam, obs_uv, C,
+                    obs_ur=None, bf=None):
     """Flat SoA projection: residuals + all Jacobian planes.
 
     Returns a dict of (N,) planes: ru rv z, Ju[6] Jv[6] (camera rows, tangent
-    [upsilon, omega] of the left-mult update), Jpu[3] Jpv[3] (point rows).
+    [upsilon, omega] of the left-mult update), Jpu[3] Jpv[3] (point rows) —
+    plus rur/Jur/Jpur stereo right-u rows when obs_ur is given
+    (u_r = u - bf/z; EdgeStereoSE3ProjectXYZ, Optimizer.cc:274-310).
     """
     P, O = obs_cam.shape
     N = P * O
@@ -112,11 +122,25 @@ def _project_planes(cam_pose, points, K, obs_cam, obs_uv, C):
     Jpv = (fy * iz * R10 - fy * y * iz2 * R20,
            fy * iz * R11 - fy * y * iz2 * R21,
            fy * iz * R12 - fy * y * iz2 * R22)
-    return dict(ru=ru, rv=rv, z=z, Ju=Ju, Jv=Jv, Jpu=Jpu, Jpv=Jpv)
+    out = dict(ru=ru, rv=rv, z=z, Ju=Ju, Jv=Jv, Jpu=Jpu, Jpv=Jpv)
+    if obs_ur is not None:
+        # u_r = u - bf/z; d(u_r) = d(u) + (bf/z^2) dz, with
+        # dz/dxi = (0, 0, 1, y, -x, 0) and dz/dX = R row 3
+        rur = ru + obs_uv.reshape(N, 2)[:, 0] - bf * iz - obs_ur.reshape(N)
+        # note: ru already contains (u_proj - u_obs); rur must be
+        # (u_proj - bf/z) - ur_obs = ru + u_obs - bf/z - ur_obs
+        g = bf * iz2
+        Jur = (Ju[0], Ju[1], Ju[2] + g,
+               Ju[3] + g * y, Ju[4] - g * x, Ju[5])
+        Jpur = (Jpu[0] + g * R20, Jpu[1] + g * R21, Jpu[2] + g * R22)
+        out.update(rur=rur, Jur=Jur, Jpur=Jpur)
+    return out
 
 
-def _chi2_planes(cam_pose, points, K, obs_cam, obs_uv, C):
-    """(chi2/inv_sigma2 (P,O), z (P,O)) — cost-only projection (no Jacobians)."""
+def _chi2_planes(cam_pose, points, K, obs_cam, obs_uv, C,
+                 obs_ur=None, obs_has_ur=None, bf=None):
+    """(chi2/inv_sigma2 (P,O), z (P,O)) — cost-only projection (no
+    Jacobians); includes the stereo right-u residual when given."""
     P, O = obs_cam.shape
     N = P * O
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
@@ -132,8 +156,11 @@ def _chi2_planes(cam_pose, points, K, obs_cam, obs_uv, C):
     uv = obs_uv.reshape(N, 2)
     ru = fx * x * iz + cx - uv[:, 0]
     rv = fy * y * iz + cy - uv[:, 1]
-    r2 = (ru * ru + rv * rv).reshape(P, O)
-    return r2, z.reshape(P, O)
+    r2 = ru * ru + rv * rv
+    if obs_ur is not None:
+        rur = (fx * x * iz + cx - bf * iz) - obs_ur.reshape(P * O)
+        r2 = r2 + jnp.where(obs_has_ur.reshape(P * O), rur * rur, 0.0)
+    return r2.reshape(P, O), z.reshape(P, O)
 
 
 def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
@@ -167,33 +194,68 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return adj / det[..., None, None]
 
 
-def _robust_weight(chi2, robust):
-    w = jnp.where(chi2 <= HUBER2, 1.0, jnp.sqrt(HUBER2 / jnp.maximum(chi2, 1e-12)))
+def _robust_weight(chi2, robust, huber2=HUBER2):
+    w = jnp.where(chi2 <= huber2, 1.0, jnp.sqrt(huber2 / jnp.maximum(chi2, 1e-12)))
     return jnp.where(robust, w, 1.0)
 
 
-def _robust_cost(chi2, robust):
+def _robust_cost(chi2, robust, huber2=HUBER2):
     rho = jnp.where(
-        chi2 <= HUBER2, chi2, 2.0 * jnp.sqrt(HUBER2 * jnp.maximum(chi2, 1e-12)) - HUBER2
+        chi2 <= huber2, chi2,
+        2.0 * jnp.sqrt(huber2 * jnp.maximum(chi2, 1e-12)) - huber2,
     )
     return jnp.where(robust, rho, chi2)
 
 
-def build_normal_equations(cam_pose, points, K, obs_cam, obs_uv, w, C):
+def _per_obs_chi2_th(prob, chi2_mono=CHI2_MONO, chi2_stereo=CHI2_STEREO):
+    """(P,O) chi2 gate: 5.991 for mono, 7.815 for stereo observations."""
+    if prob.obs_has_ur is None:
+        return chi2_mono
+    return jnp.where(prob.obs_has_ur, chi2_stereo, chi2_mono)
+
+
+def build_normal_equations(cam_pose, points, K, obs_cam, obs_uv, w, C,
+                           obs_ur=None, obs_has_ur=None, bf=None):
     """Accumulate the BA normal equations in MXU-friendly layouts.
 
     w: (P, O) final per-observation weights (information x robust x masks).
     Returns Hcc (C,6,6), bc (C,6), Hpp (P,3,3), bp (P,3), U (6C, 3P) — the
     camera-point cross term laid out so the Schur product is one matmul.
+    The optional stereo right-u row (obs_ur/obs_has_ur/bf) adds its products
+    to every block with the same information weight (Optimizer.cc:295-305).
     This function is the sharding point for distributed BA: observations can
     be partitioned along P and the reduced system psum-reduced.
     """
     P, O = w.shape
     N = P * O
-    pl = _project_planes(cam_pose, points, K, obs_cam, obs_uv, C)
+    pl = _project_planes(cam_pose, points, K, obs_cam, obs_uv, C, obs_ur, bf)
     wf = (w * (pl["z"].reshape(P, O) > 0)).reshape(N)
     Ju, Jv, Jpu, Jpv = pl["Ju"], pl["Jv"], pl["Jpu"], pl["Jpv"]
     ru, rv = pl["ru"], pl["rv"]
+    stereo = obs_ur is not None
+    if stereo:
+        wur = wf * obs_has_ur.reshape(N)
+        Jur, Jpur, rur = pl["Jur"], pl["Jpur"], pl["rur"]
+
+    def pp(a, b):
+        t = (Jpu[a] * Jpu[b] + Jpv[a] * Jpv[b]) * wf
+        return t + Jpur[a] * Jpur[b] * wur if stereo else t
+
+    def prhs(a):
+        t = (Jpu[a] * ru + Jpv[a] * rv) * wf
+        return t + Jpur[a] * rur * wur if stereo else t
+
+    def cc(a, b):
+        t = (Ju[a] * Ju[b] + Jv[a] * Jv[b]) * wf
+        return t + Jur[a] * Jur[b] * wur if stereo else t
+
+    def crhs(a):
+        t = (Ju[a] * ru + Jv[a] * rv) * wf
+        return t + Jur[a] * rur * wur if stereo else t
+
+    def cp(a, b):
+        t = (Ju[a] * Jpu[b] + Jv[a] * Jpv[b]) * wf
+        return t + Jur[a] * Jpur[b] * wur if stereo else t
 
     # ---- point blocks: 6 unique entries of the 3x3 symmetric Hpp ----------
     def psum(plane):
@@ -201,46 +263,30 @@ def build_normal_equations(cam_pose, points, K, obs_cam, obs_uv, w, C):
 
     Hpp = jnp.stack(
         [
-            jnp.stack(
-                [
-                    psum((Jpu[a] * Jpu[b] + Jpv[a] * Jpv[b]) * wf)
-                    for b in range(3)
-                ],
-                axis=-1,
-            )
+            jnp.stack([psum(pp(a, b)) for b in range(3)], axis=-1)
             for a in range(3)
         ],
         axis=-2,
     )  # (P, 3, 3)
-    bp = jnp.stack(
-        [-psum((Jpu[a] * ru + Jpv[a] * rv) * wf) for a in range(3)], axis=-1
-    )
+    bp = jnp.stack([-psum(prhs(a)) for a in range(3)], axis=-1)
 
     # ---- camera blocks: scatter-add per camera ----------------------------
     cam = jnp.maximum(obs_cam, 0).reshape(N)
     Hcc_blk = jnp.stack(
         [
-            jnp.stack(
-                [(Ju[a] * Ju[b] + Jv[a] * Jv[b]) * wf for b in range(6)],
-                axis=-1,
-            )
+            jnp.stack([cc(a, b) for b in range(6)], axis=-1)
             for a in range(6)
         ],
         axis=-2,
     )  # (N, 6, 6)
-    bc_blk = jnp.stack(
-        [-(Ju[a] * ru + Jv[a] * rv) * wf for a in range(6)], axis=-1
-    )  # (N, 6)
+    bc_blk = jnp.stack([-crhs(a) for a in range(6)], axis=-1)  # (N, 6)
     Hcc = jnp.zeros((C, 6, 6)).at[cam].add(Hcc_blk)
     bc = jnp.zeros((C, 6)).at[cam].add(bc_blk)
 
     # ---- cross term in matmul layout: U (C, 6, P, 3) -> (6C, 3P) ----------
     G = jnp.stack(
         [
-            jnp.stack(
-                [(Ju[a] * Jpu[b] + Jv[a] * Jpv[b]) * wf for b in range(3)],
-                axis=-1,
-            )
+            jnp.stack([cp(a, b) for b in range(3)], axis=-1)
             for a in range(6)
         ],
         axis=-2,
@@ -327,9 +373,12 @@ def schur_solve(Hcc, bc, Hpp, bp, U, cam_free, point_free, lam, psum_axis=None):
 
 def _total_cost(cam_pose, points, K, prob: BAProblem, active_obs, robust):
     C = prob.cam_pose.shape[0]
-    r2, z = _chi2_planes(cam_pose, points, K, prob.obs_cam, prob.obs_uv, C)
+    r2, z = _chi2_planes(
+        cam_pose, points, K, prob.obs_cam, prob.obs_uv, C,
+        prob.obs_ur, prob.obs_has_ur, prob.bf,
+    )
     chi2 = r2 * prob.obs_inv_sigma2
-    cost = _robust_cost(chi2, robust)
+    cost = _robust_cost(chi2, robust, _per_obs_chi2_th(prob))
     ok = active_obs & (z > 0)
     return jnp.sum(jnp.where(ok, cost, 0.0)), chi2, z
 
@@ -362,10 +411,13 @@ def solve_ba(
             c0, chi2, _ = _total_cost(
                 cam_pose, points, prob.K, prob, active_obs, robust
             )
-            w = prob.obs_inv_sigma2 * _robust_weight(chi2, robust)
+            w = prob.obs_inv_sigma2 * _robust_weight(
+                chi2, robust, _per_obs_chi2_th(prob)
+            )
             w = jnp.where(active_obs, w, 0.0)
             Hcc, bc, Hpp, bp, U = build_normal_equations(
-                cam_pose, points, prob.K, prob.obs_cam, prob.obs_uv, w, C
+                cam_pose, points, prob.K, prob.obs_cam, prob.obs_uv, w, C,
+                prob.obs_ur, prob.obs_has_ur, prob.bf,
             )
             dc, dp = schur_solve(Hcc, bc, Hpp, bp, U, cam_free, point_free, lam)
 
@@ -397,9 +449,10 @@ def solve_ba(
         prob.cam_pose, prob.points, base_obs, jnp.asarray(True), iters1, lambda_init
     )
 
-    # outlier classification (Optimizer.cc:640-655)
+    # outlier classification (Optimizer.cc:640-655): 5.991 mono, 7.815 stereo
     _, chi2, z = _total_cost(cam_pose, points, prob.K, prob, base_obs, jnp.asarray(True))
-    inlier = base_obs & (chi2 <= chi2_th) & (z > 0)
+    th = _per_obs_chi2_th(prob, chi2_th)
+    inlier = base_obs & (chi2 <= th) & (z > 0)
 
     cam_pose, points = lm_phase(
         cam_pose, points, inlier, jnp.asarray(False), iters2, lambda_init
@@ -409,7 +462,7 @@ def solve_ba(
     final_cost, chi2, z = _total_cost(
         cam_pose, points, prob.K, prob, inlier, jnp.asarray(False)
     )
-    obs_inlier = base_obs & (chi2 <= chi2_th) & (z > 0)
+    obs_inlier = base_obs & (chi2 <= th) & (z > 0)
     return BAResult(
         cam_pose=cam_pose, points=points, obs_inlier=obs_inlier, final_cost=final_cost
     )

@@ -43,6 +43,9 @@ class SlamMap:
     kf_desc: jnp.ndarray       # (K, N, 8) u32
     kf_feat_valid: jnp.ndarray  # (K, N) bool
     kf_obs: jnp.ndarray        # (K, N) i32 map-point id or -1
+    # stereo right-image u coordinate per feature (mvuRight,
+    # jni/ORB_SLAM2/include/Frame.h); -1 = monocular feature
+    kf_ur: jnp.ndarray         # (K, N) f32
 
     # --- map points ------------------------------------------------------
     mp_pos: jnp.ndarray        # (M, 3) f32 world position
@@ -97,6 +100,7 @@ def empty_map(cap: MapCapacityConfig, n_features: int) -> SlamMap:
         kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
         kf_feat_valid=jnp.zeros((K, N), bool),
         kf_obs=jnp.full((K, N), -1, i32),
+        kf_ur=jnp.full((K, N), -1.0, f32),
         mp_pos=jnp.zeros((M, 3), f32),
         mp_valid=jnp.zeros(M, bool),
         mp_desc=jnp.zeros((M, 8), jnp.uint32),
@@ -131,6 +135,7 @@ def add_keyframe(
     frame_id: jnp.ndarray,
     timestamp: jnp.ndarray,
     parent: jnp.ndarray,
+    ur: jnp.ndarray | None = None,
 ) -> tuple[SlamMap, jnp.ndarray]:
     """Freeze a frame into keyframe slot n_kf. obs: (N,) map-point id or -1
     for features already associated with map points (the tracking matches —
@@ -142,6 +147,8 @@ def add_keyframe(
     k = m.n_kf
     ok = k < m.max_kf
     kc = jnp.minimum(k, m.max_kf - 1)
+    if ur is None:
+        ur = jnp.full(obs.shape, -1.0, jnp.float32)
 
     obs = jnp.where(feat_valid, obs, -1)
     m2 = m.replace(
@@ -156,6 +163,7 @@ def add_keyframe(
         kf_desc=m.kf_desc.at[kc].set(desc),
         kf_feat_valid=m.kf_feat_valid.at[kc].set(feat_valid),
         kf_obs=m.kf_obs.at[kc].set(obs),
+        kf_ur=m.kf_ur.at[kc].set(ur),
         n_kf=k + 1,
     )
     # register observations on the observed points

@@ -545,6 +545,7 @@ def mapping_step(
             window=cfg.capacity.local_ba_window,
             n_fixed=cfg.capacity.local_ba_window,
             max_points=cfg.capacity.local_ba_points,
+            bf=cfg.camera.baseline_times_fx,
         )
         res = solve_ba(prob, cfg.optim.local_ba_iters1, cfg.optim.local_ba_iters2)
         m = write_back_ba(m, res, prob, cam_ids, point_ids, rebuild=False)

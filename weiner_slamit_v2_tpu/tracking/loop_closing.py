@@ -294,7 +294,8 @@ class LoopCloser:
             from ..slam_map.point_stats import refresh_point_stats
 
             prob, cam_ids, point_ids = extract_global_ba(
-                t.m, t.K, t.inv_sigma2, gauge_kf=cand
+                t.m, t.K, t.inv_sigma2, gauge_kf=cand,
+                bf=cfg.camera.baseline_times_fx,
             )
             res = solve_ba(prob, 5, cfg.optim.global_ba_iters - 5)
             t.m = write_back_ba(t.m, res, prob, cam_ids, point_ids)

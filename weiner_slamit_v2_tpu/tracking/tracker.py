@@ -450,13 +450,18 @@ def _freeze_kf(m, Tcw, feats, cur_obs, frame_id, ts, parent):
 @jax.jit
 def _freeze_kf_depth(
     m, Tcw, feats, cur_obs, frame_id, ts, parent, depth, camera,
-    depth_threshold, scale_factors,
+    depth_threshold, scale_factors, bf,
 ):
     """Keyframe freeze + close-point creation from depth
-    (src/Tracking.cc:1340-1395)."""
+    (src/Tracking.cc:1340-1395). bf > 0 stores the stereo right-u
+    coordinate per feature (mvuRight = u - bf/z) for 3-dof BA edges."""
+    ur = jnp.where(
+        (depth > 0) & (bf > 0),
+        feats.xy_und[:, 0] - bf / jnp.maximum(depth, 1e-6), -1.0,
+    )
     m, kf_id = mt.add_keyframe(
         m, Tcw, feats.xy_und, feats.octave, feats.angle, feats.desc,
-        feats.valid, cur_obs, frame_id, ts, parent,
+        feats.valid, cur_obs, frame_id, ts, parent, ur=ur,
     )
     kf = jnp.maximum(kf_id, 0)
     N = feats.n
@@ -580,14 +585,18 @@ def _build_initial_map(
 
 
 @jax.jit
-def _build_depth_init(m, feats, feat_depth, camera, frame_id, ts, scale_factors):
+def _build_depth_init(m, feats, feat_depth, camera, frame_id, ts, scale_factors, bf):
     """Stereo/RGB-D initialization (Tracking::StereoInitialization,
     src/Tracking.cc:700-748) as one program."""
     N = feats.n
+    ur = jnp.where(
+        (feat_depth > 0) & (bf > 0),
+        feats.xy_und[:, 0] - bf / jnp.maximum(feat_depth, 1e-6), -1.0,
+    )
     m, kf0 = mt.add_keyframe(
         m, jnp.eye(4), feats.xy_und, feats.octave, feats.angle,
         feats.desc, feats.valid, jnp.full(N, -1, jnp.int32),
-        frame_id, ts, jnp.asarray(-1),
+        frame_id, ts, jnp.asarray(-1), ur=ur,
     )
     has_d = feats.valid & (feat_depth > 0)
     X = camera.unproject(feats.xy_und, feat_depth)
@@ -761,6 +770,7 @@ class Tracker:
             self.m, feats, feat_depth, self.camera,
             jnp.asarray(self.frame_id), jnp.asarray(ts, jnp.float32),
             self.scale_factors,
+            jnp.asarray(self.cfg.camera.baseline_times_fx, jnp.float32),
         )
         self.m = m
         kf0 = 0  # initialization always starts from an empty map
@@ -983,6 +993,7 @@ class Tracker:
                 *args, self._cur_depth, self.camera,
                 jnp.asarray(self.cfg.camera.depth_threshold, jnp.float32),
                 self.scale_factors,
+                jnp.asarray(self.cfg.camera.baseline_times_fx, jnp.float32),
             )
         else:
             m, kf_id = _freeze_kf(*args)
