@@ -133,3 +133,95 @@ class TestLoopClosing:
         # scale close to 1 (same map, same scale)
         s = float(sim3.scale_of(S12))
         assert 0.7 < s < 1.4, f"loop Sim3 scale {s}"
+
+
+def disjoint_out_and_back(n_frames=72, seed=31, amp=2.0, depth=2.0):
+    """Out-and-back whose start and apex views do NOT overlap (the frustum
+    footprint at the plane is ~2.1m; the 4m path separates them), so a
+    genuine loop-closure situation can be constructed."""
+    import jax.numpy as jnp  # noqa: F401
+
+    rng = np.random.default_rng(seed)
+    ppm = FX / depth
+    tw = int((2 * amp + W / FX * depth + 1.0) * ppm)
+    th = int((H / FX * depth + 1.0) * ppm)
+    world = SyntheticWorld(
+        texture=_perlin_texture(th, tw, rng), K=K,
+        plane_depth=depth, pixels_per_meter=ppm,
+    )
+    frames, gt = [], np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        a = i / (n_frames - 1)
+        s = np.sin(np.pi * a)
+        twc = np.array([-amp + 2 * amp * s, 0.02 * np.sin(4 * np.pi * a), 0.0])
+        Twc = np.eye(4)
+        Twc[:3, 3] = twc
+        gt[i] = Twc
+        frames.append(
+            FrameData(timestamp=i / 30.0, image=world.render(np.linalg.inv(Twc), H, W))
+        )
+    return Sequence(frames=frames, gt_Twc=gt)
+
+
+class TestLoopClosureEndToEnd:
+    def test_detect_close_correct_improves_ate(self):
+        """The full detect -> Sim3 -> >=40-match gate -> CorrectLoop chain
+        through LoopCloser.on_keyframe: inject a gauge drift into the map's
+        start region at the apex (the classic accumulated-drift situation —
+        the synthetic world itself is too clean to drift), then demand that
+        the revisit closes a loop and the exported trajectory's ATE drops."""
+        import jax
+        import jax.numpy as jnp
+        from weiner_slamit_v2_tpu.config import MappingConfig, TrackingConfig
+        from weiner_slamit_v2_tpu.geometry import se3
+        from weiner_slamit_v2_tpu.io.evaluation import ate_rmse
+
+        seq = disjoint_out_and_back()
+        cfg = loop_config().replace(
+            capacity=MapCapacityConfig(
+                max_keyframes=64, max_map_points=6144, max_obs_per_point=16,
+                local_ba_window=8, local_ba_points=1024,
+            ),
+            tracking=TrackingConfig(mapping_latency_frames=1),
+        )
+        cam = Camera.create(FX, FX, 159.5, 119.5, width=W, height=H)
+        sys_ = System(cfg, cam, enable_loop_closing=True)
+        t = sys_.tracker
+        ate_pre = None
+        for i, f in enumerate(seq.frames):
+            sys_.track_monocular(f.image, f.timestamp)
+            if i == 36:
+                # gauge-drift the start region: keyframes from the first 12
+                # frames and their points move by G; the revisit cannot
+                # re-attach to them and must close a loop instead
+                sys_.finish()
+                m = t.m
+                kf_sel = (m.kf_frame_id < 12) & (m.kf_frame_id >= 0) & m.kf_valid
+                k_ids = np.nonzero(np.asarray(kf_sel))[0]
+                mp_sel = jnp.isin(m.mp_first_kf, jnp.asarray(k_ids)) & m.mp_valid
+                G = np.eye(4, dtype=np.float32)
+                G[:3, 3] = [0.25, 0.1, 0.15]
+                c, s = np.cos(0.1), np.sin(0.1)
+                G[:3, :3] = np.array(
+                    [[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32
+                )
+                G = jnp.asarray(G)
+                t.m = m.replace(
+                    kf_pose=jnp.where(
+                        kf_sel[:, None, None], m.kf_pose @ se3.inv(G)[None],
+                        m.kf_pose,
+                    ),
+                    mp_pos=jnp.where(
+                        mp_sel[:, None], se3.apply(G, m.mp_pos), m.mp_pos
+                    ),
+                )
+            if i > 40 and sys_.loop_closer.n_loops_closed == 0:
+                sys_.finish()
+                ts, Twc = t.trajectory_Twc()
+                ate_pre = ate_rmse(Twc, seq.gt_Twc[-len(Twc):])
+        sys_.finish()
+        assert sys_.loop_closer.n_loops_closed >= 1
+        ts, Twc = t.trajectory_Twc()
+        ate_post = ate_rmse(Twc, seq.gt_Twc[-len(Twc):])
+        assert ate_pre is not None and np.isfinite(ate_post)
+        assert ate_post < ate_pre, f"post {ate_post} !< pre {ate_pre}"

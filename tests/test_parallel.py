@@ -93,3 +93,59 @@ print("OK", out[1])
 """ % (REPO, REPO)
         out = run_in_subprocess(code, n_devices=1)
         assert "OK" in out, out
+
+
+class TestMultiHost:
+    def test_two_process_distributed_psum(self):
+        """jax.distributed multi-host path: two OS processes join a
+        coordinator and run a psum over the global mesh — the communication
+        skeleton the distributed BA rides on real multi-host slices."""
+        worker = """
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["PYTHONPATH"].split(os.pathsep)[0])
+from weiner_slamit_v2_tpu.parallel import multihost
+multihost.initialize()
+assert jax.process_count() == 2, jax.process_count()
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+mesh = multihost.global_mesh("d")
+n = len(jax.devices())
+assert n == 4, n  # 2 local devices x 2 processes
+
+import functools
+@functools.partial(jax.shard_map, mesh=mesh, in_specs=P("d"), out_specs=P())
+def total(x):
+    return jax.lax.psum(x.sum(), "d")
+
+xs = jnp.arange(n * 3, dtype=jnp.float32)
+out = total(xs)
+expect = float(xs.sum())
+assert abs(float(out) - expect) < 1e-5, (float(out), expect)
+print("MULTIHOST_OK", jax.process_index())
+"""
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=2"
+        ).strip()
+        env["PYTHONPATH"] = REPO
+        env["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:57731"
+        env["JAX_NUM_PROCESSES"] = "2"
+        procs = []
+        for pid in range(2):
+            e = dict(env)
+            e["JAX_PROCESS_ID"] = str(pid)
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-c", worker],
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                    text=True, env=e,
+                )
+            )
+        outs = [p.communicate(timeout=560) for p in procs]
+        for p, (so, se) in zip(procs, outs):
+            assert p.returncode == 0, f"stderr:\n{se[-3000:]}"
+            assert "MULTIHOST_OK" in so

@@ -45,7 +45,14 @@ class System:
         enable_mapping: bool = True,
         enable_loop_closing: bool = False,
         mapping_neighbors: int | None = None,
+        mapping_device: Optional[jax.Device] = None,
     ):
+        """mapping_device: run the local-mapping stage on a different chip
+        (pipeline parallelism — the tracking chip keeps the per-frame hot
+        path while the mapper chip does triangulation/fuse/BA; the map
+        snapshot is transferred per keyframe and the result adopted back).
+        None = same device (the mapping pass still overlaps via the async
+        adoption protocol)."""
         self.cfg = cfg or SlamConfig()
         cc = self.cfg.camera
         self.camera = camera or Camera.create(
@@ -70,6 +77,7 @@ class System:
             self.tracker.mapping_hook = self._on_new_keyframe
             self.tracker.mapper_idle_hook = self.mapper_idle
         self.localization_only = False
+        self.mapping_device = mapping_device
         # in-flight asynchronous mapping pass: (pending map pytree, kf_id)
         self._pending_map = None
         self._pending_kf = -1
@@ -88,9 +96,15 @@ class System:
         if self.localization_only:
             return
         t = self.tracker
-        self._pending_map = _mapping_step_jit(
+        args = (
             t.m, jnp.asarray(kf_id), t.K, t.scale_factors, t.sigma2,
-            t.inv_sigma2, self.cfg, n_neighbors=self.mapping_neighbors,
+            t.inv_sigma2,
+        )
+        if self.mapping_device is not None:
+            # pipeline parallelism: ship the snapshot to the mapper chip
+            args = jax.device_put(args, self.mapping_device)
+        self._pending_map = _mapping_step_jit(
+            *args, self.cfg, n_neighbors=self.mapping_neighbors,
         )
         self._pending_kf = kf_id
         self._mapping_enqueued_frame = t.frame_id
@@ -114,6 +128,8 @@ class System:
         self._pending_map = None
         self._pending_kf = -1
         t = self.tracker
+        if self.mapping_device is not None:
+            m = jax.device_put(m, jax.devices()[0])
         t.m = m
         # mapping may have adjusted poses: refresh the cached last pose when
         # the tracker is still referencing the mapped keyframe
