@@ -125,3 +125,48 @@ class TestLocalizationMode:
         for f in seq.frames[10:]:
             out = sys_.track_monocular(f.image, f.timestamp)
         assert sys_.n_keyframes() == n_kf
+
+
+class TestCompaction:
+    def test_long_sequence_outgrows_pool_and_compacts(self):
+        """Keyframe slot ids are never reused, so a long run exhausts the
+        static pool even with culling; compaction (slam_map/compaction.py)
+        re-packs survivors and tracking continues uninterrupted."""
+        from weiner_slamit_v2_tpu.config import TrackingConfig
+
+        n_frames = 120
+        seq = make_synthetic_sequence(
+            n_frames=n_frames, h=H, w=W, seed=7, motion="orbit", K=K
+        )
+        cfg = small_config().replace(
+            capacity=MapCapacityConfig(
+                max_keyframes=12, max_map_points=2048, max_obs_per_point=16,
+                local_ba_window=6, local_ba_points=512,
+            ),
+            tracking=TrackingConfig(mapping_latency_frames=1),
+        )
+        cam = Camera.create(300.0, 300.0, 159.5, 119.5, width=W, height=H)
+        sys_ = System(cfg, cam)
+        n_compactions = 0
+        orig = sys_.compact
+
+        def counting_compact():
+            nonlocal n_compactions
+            n_compactions += 1
+            orig()
+
+        sys_.compact = counting_compact
+        states = [
+            sys_.track_monocular(f.image, f.timestamp).state
+            for f in seq.frames
+        ]
+        ok = states.count("OK")
+        assert ok > 0.8 * n_frames, f"only {ok}/{n_frames} OK"
+        assert n_compactions >= 1, "pool never filled — weak test setup"
+        sys_.finish()
+        ts, Twc = sys_.tracker.trajectory_Twc()
+        assert np.isfinite(Twc).all()
+        gt = seq.gt_Twc[-len(Twc):]
+        from weiner_slamit_v2_tpu.io.evaluation import ate_rmse
+
+        assert ate_rmse(Twc, gt) < 0.12

@@ -189,6 +189,19 @@ class BowIndex:
         if self.db is not None:
             self.db = erase_keyframe_bow(self.db, jnp.asarray(kf_id))
 
+    def permute(self, kf_map: jnp.ndarray) -> None:
+        """Renumber database rows after map compaction: row old -> kf_map[old]
+        (-1 rows dropped)."""
+        if self.db is None:
+            return
+        K = self.db.bow.shape[0]
+        tgt = jnp.where(kf_map >= 0, kf_map, K)
+        bow = jnp.zeros_like(self.db.bow).at[tgt].set(self.db.bow, mode="drop")
+        has = jnp.zeros_like(self.db.has_entry).at[tgt].set(
+            self.db.has_entry, mode="drop"
+        )
+        self.db = self.db.replace(bow=bow, has_entry=has)
+
     def query_vector(self, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         words, _ = transform(self.vocab, desc, valid)
         return bow_vector(self.vocab, words)

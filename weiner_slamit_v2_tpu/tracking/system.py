@@ -146,10 +146,70 @@ class System:
         self.mapper_idle(force=True)
 
     # ------------------------------------------------------------------
+    def compact(self):
+        """Re-pack valid keyframes/points to the front of the fixed-capacity
+        pools and remap every reference (slam_map/compaction.py) — lets
+        arbitrarily long sequences run inside XLA's static shapes. Invoked
+        automatically when the keyframe pool is nearly exhausted."""
+        self.finish()
+        from ..slam_map.compaction import compact_map
+
+        t = self.tracker
+        m_old = t.m
+        m2, kf_map, mp_map = compact_map(m_old)
+        kf_map_np = np.asarray(kf_map)
+
+        # trajectory anchors: entries whose keyframe was dropped are baked
+        # into absolute poses (ref = -1); survivors are renumbered
+        if t.trajectory:
+            T_cr = jnp.stack([jnp.asarray(p) for _, p, _ in t.trajectory])
+            refs = np.asarray([r for _, _, r in t.trajectory])
+            refs_safe = np.maximum(refs, 0)
+            culled_now = (refs >= 0) & (kf_map_np[refs_safe] < 0)
+            baked = jnp.where(
+                jnp.asarray(culled_now)[:, None, None],
+                T_cr @ m_old.kf_pose[jnp.asarray(refs_safe)],
+                T_cr,
+            )
+            new_refs = np.where(refs >= 0, kf_map_np[refs_safe], -1)
+            new_refs = np.where(culled_now, -1, new_refs)
+            t.trajectory = [
+                (ts, baked[i], int(new_refs[i]))
+                for i, (ts, _, _) in enumerate(t.trajectory)
+            ]
+
+        t.m = m2
+        t.n_kf_host = int(kf_map_np.max()) + 1 if (kf_map_np >= 0).any() else 0
+        rk = int(kf_map_np[t.ref_kf]) if 0 <= t.ref_kf < len(kf_map_np) else -1
+        t.ref_kf = rk if rk >= 0 else max(t.n_kf_host - 1, 0)
+        if t.last_obs is not None:
+            t.last_obs = jnp.where(
+                t.last_obs >= 0, mp_map[jnp.maximum(t.last_obs, 0)], -1
+            )
+        t.bow.permute(kf_map)
+        if self.loop_closer is not None:
+            lc = self.loop_closer
+            lc.consistency_counts.clear()
+            if lc.last_loop_kf >= 0:
+                lc.last_loop_kf = int(kf_map_np[lc.last_loop_kf])
+            lc.loop_edges = [
+                (int(kf_map_np[i]), int(kf_map_np[j]), S)
+                for (i, j, S) in lc.loop_edges
+                if kf_map_np[i] >= 0 and kf_map_np[j] >= 0
+            ]
+
+    # ------------------------------------------------------------------
+    def _pre_frame(self):
+        self.mapper_idle()  # adopt a finished mapping pass, never blocks
+        # keyframe pool nearly exhausted -> compact (ids are never reused,
+        # so long sequences outgrow the static pool even after culling)
+        if self.tracker.n_kf_host >= self.tracker.m.max_kf - 2:
+            self.compact()
+
     def track_monocular(self, image: np.ndarray, timestamp: float) -> TrackerOutput:
         """Per-frame entry (System::TrackMonocular, src/System.cc:307-361).
         image: (H, W) grayscale float or uint8."""
-        self.mapper_idle()  # adopt a finished mapping pass, never blocks
+        self._pre_frame()
         img = np.asarray(image, dtype=np.float32)
         return self.tracker.process_frame(img, timestamp)
 
@@ -158,7 +218,7 @@ class System:
     ) -> TrackerOutput:
         """RGB-D entry (System::TrackRGBD, src/System.cc:260-305):
         depth-based initialization + depth-backed new map points."""
-        self.mapper_idle()
+        self._pre_frame()
         return self.tracker.process_frame(
             np.asarray(image, np.float32), timestamp,
             depth=np.asarray(depth, np.float32),
@@ -169,7 +229,7 @@ class System:
     ) -> TrackerOutput:
         """Stereo entry (System::TrackStereo, src/System.cc:215-258):
         row-banded stereo matching supplies per-feature depth."""
-        self.mapper_idle()
+        self._pre_frame()
         return self.tracker.process_frame(
             np.asarray(left, np.float32), timestamp,
             image_right=np.asarray(right, np.float32),

@@ -692,10 +692,31 @@ class Tracker:
         # mapper_idle_hook(force=False) -> bool: adopt finished async mapping
         # output / report idleness (System.mapper_idle); None = always idle
         self.mapper_idle_hook = None
+        # optional PoseNet person-keypoint head, run per frame like the
+        # reference's Frame ctor (src/Frame.cc:222-334); enable with
+        # enable_posenet(). Results (device arrays) in last_person.
+        self._posenet_params = None
+        self._posenet_fn = None
+        self.last_person = None  # (positions (17,2), scores (17,), mask)
         self.allow_keyframes = True  # cleared in localization-only mode
         from ..bow.database import BowIndex
 
         self.bow = BowIndex(cfg.capacity.max_keyframes)
+
+    def enable_posenet(self, params=None) -> None:
+        """Run the PoseNet human-keypoint head on every frame (the reference
+        instantiates it in Tracking and runs it in the Frame ctor —
+        src/Tracking.cc:184-187, src/Frame.cc:222-232). params: trained flax
+        params; random init when None (no pretrained weights ship with the
+        reference repo either)."""
+        from ..models import posenet
+
+        self._posenet_params = (
+            params
+            if params is not None
+            else posenet.init_params(jax.random.PRNGKey(self.cfg.seed + 99))
+        )
+        self._posenet_fn = jax.jit(posenet.person_keypoints_for_frame)
 
     # ------------------------------------------------------------------
     def process_frame(
@@ -711,7 +732,11 @@ class Tracker:
         initializing = self.state in (NO_IMAGES_YET, NOT_INITIALIZED)
         mono = depth is None and image_right is None
         extract = self._extract_init if (initializing and mono) else self._extract_track
-        feats = extract(jnp.asarray(image, jnp.float32))
+        img_dev = jnp.asarray(image, jnp.float32)
+        feats = extract(img_dev)
+        if self._posenet_fn is not None:
+            # async dispatch; results are device futures (no per-frame sync)
+            self.last_person = self._posenet_fn(self._posenet_params, img_dev)
 
         # per-feature depth for stereo / RGB-D frames
         feat_depth = None
@@ -1151,6 +1176,13 @@ class Tracker:
         ts = np.asarray([t for t, _, _ in self.trajectory])
         T_cr = jnp.stack([jnp.asarray(p) for _, p, _ in self.trajectory])
         refs = jnp.asarray([r for _, _, r in self.trajectory], jnp.int32)
-        Tcw = np.asarray(T_cr @ self.m.kf_pose[refs])
+        # ref == -1: the entry was baked to an absolute pose (its anchor
+        # keyframe was dropped by map compaction)
+        anchor = jnp.where(
+            (refs >= 0)[:, None, None],
+            self.m.kf_pose[jnp.maximum(refs, 0)],
+            jnp.eye(4)[None],
+        )
+        Tcw = np.asarray(T_cr @ anchor)
         Twc = np.linalg.inv(Tcw)
         return ts, Twc
