@@ -50,7 +50,7 @@ def extract_local_ba(
 
     # local points: observed by any active cam
     obs_by_active = jnp.where(
-        (is_active & m.kf_valid)[:, None, None], m.kf_obs, -1
+        (is_active & m.kf_valid)[:, None], m.kf_obs, -1
     )  # (K, N)
     flat = obs_by_active.reshape(-1)
     in_local = jnp.zeros(m.max_mp, bool).at[jnp.where(flat >= 0, flat, m.max_mp)].set(

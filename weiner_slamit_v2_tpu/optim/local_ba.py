@@ -270,8 +270,13 @@ def build_normal_equations(cam_pose, points, K, obs_cam, obs_uv, w, C,
     )  # (P, 3, 3)
     bp = jnp.stack([-psum(prhs(a)) for a in range(3)], axis=-1)
 
-    # ---- camera blocks: scatter-add per camera ----------------------------
-    cam = jnp.maximum(obs_cam, 0).reshape(N)
+    # ---- camera blocks: one-hot matmul reduction per camera ---------------
+    # (a (C, N) @ (N, 36) MXU contraction — scatter-add over N duplicate
+    # camera indices serializes on TPU and cost ~8 ms at these sizes)
+    onehot = (
+        jnp.maximum(obs_cam, 0).reshape(N)[:, None]
+        == jnp.arange(C, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
     Hcc_blk = jnp.stack(
         [
             jnp.stack([cc(a, b) for b in range(6)], axis=-1)
@@ -280,8 +285,8 @@ def build_normal_equations(cam_pose, points, K, obs_cam, obs_uv, w, C,
         axis=-2,
     )  # (N, 6, 6)
     bc_blk = jnp.stack([-crhs(a) for a in range(6)], axis=-1)  # (N, 6)
-    Hcc = jnp.zeros((C, 6, 6)).at[cam].add(Hcc_blk)
-    bc = jnp.zeros((C, 6)).at[cam].add(bc_blk)
+    Hcc = (onehot.T @ Hcc_blk.reshape(N, 36)).reshape(C, 6, 6)
+    bc = onehot.T @ bc_blk
 
     # ---- cross term in matmul layout: U (C, 6, P, 3) -> (6C, 3P) ----------
     G = jnp.stack(
@@ -291,11 +296,11 @@ def build_normal_equations(cam_pose, points, K, obs_cam, obs_uv, w, C,
         ],
         axis=-2,
     )  # (N, 6, 3)
-    p_idx = jnp.broadcast_to(
-        jnp.arange(P, dtype=jnp.int32)[:, None], (P, O)
-    ).reshape(N)
-    U4 = jnp.zeros((C, P, 6, 3)).at[cam, p_idx].add(G)
-    U = U4.transpose(0, 2, 1, 3).reshape(C * 6, P * 3)
+    # U[c, p] = sum over point p's observations with camera c — a per-point
+    # contraction over the O axis (einsum beats the (cam, p) scatter-add
+    # ~2x at these sizes on TPU; measured in tools/profile_ba.py)
+    U5 = jnp.einsum("poc,pox->pcx", onehot.reshape(P, O, C), G.reshape(P, O, 18))
+    U = U5.reshape(P, C, 6, 3).transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
     return Hcc, bc, Hpp, bp, U
 
 

@@ -75,7 +75,8 @@ _ALIASES = {
     "tum": "tum_fr1",
     "kitti": "kitti_00",
     **{f"kitti_{i:02d}": "kitti_00" for i in (1, 2)},
-    **{f"kitti_{i:02d}": "kitti_04" for i in range(5, 13)},
+    # sequences 04-12 and 13-21 share the kitti_04 camera
+    **{f"kitti_{i:02d}": "kitti_04" for i in range(5, 22)},
 }
 
 

@@ -331,6 +331,70 @@ def _fuse_points_into_kf(
     )
 
 
+def _fuse_match_in_kf(
+    m: SlamMap,
+    pid: jnp.ndarray,        # (S,) candidate point ids
+    p_ok_in: jnp.ndarray,    # (S,) candidate validity
+    dst,
+    K: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    inv_sigma2_by_oct: jnp.ndarray,
+    cfg: SlamConfig,
+    window_mult: float,
+):
+    """Match-only half of ORBmatcher::Fuse (src/ORBmatcher.cc:829-979):
+    project candidate points into keyframe `dst` and find, per point, the
+    best in-window feature. Returns (ok (S,), fidx (S,)) — the map update
+    (add/merge) is applied by the caller so it can be batched over targets.
+    """
+    from ..slam_map.point_stats import predict_octave
+
+    L = scale_factors.shape[0]
+    already_here = jnp.any(m.mp_obs_kf[pid] == dst, axis=1)
+    p_ok = p_ok_in & m.mp_valid[pid] & ~already_here
+
+    Tcw = m.kf_pose[dst]
+    X = m.mp_pos[pid]
+    Pc = se3.apply(Tcw, X)
+    z = Pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = K[0, 0] * Pc[:, 0] / zs + K[0, 2]
+    v = K[1, 1] * Pc[:, 1] / zs + K[1, 2]
+    C = triangulate.camera_center(Tcw)
+    ray = X - C
+    dist3 = jnp.linalg.norm(ray, axis=1)
+    viewcos = jnp.sum(ray * m.mp_normal[pid], axis=1) / jnp.maximum(dist3, 1e-9)
+    p_ok = (
+        p_ok & (z > 0) & (viewcos > 0.5)
+        & (dist3 >= 0.8 * m.mp_min_dist[pid])
+        & (dist3 <= 1.2 * m.mp_max_dist[pid])
+        & (u >= 0) & (u < 2.0 * K[0, 2]) & (v >= 0) & (v < 2.0 * K[1, 2])
+    )
+    pred_oct = predict_octave(dist3, m.mp_max_dist[pid], scale_factors[1], L)
+
+    xy = m.kf_xy[dst]
+    du = xy[None, :, 0] - u[:, None]
+    dv = xy[None, :, 1] - v[:, None]
+    win = window_mult * scale_factors[jnp.clip(pred_oct, 0, L - 1)]
+    in_win = (jnp.abs(du) < win[:, None]) & (jnp.abs(dv) < win[:, None])
+    octf = m.kf_octave[dst]
+    lvl_ok = (octf[None, :] >= (pred_oct - 1)[:, None]) & (
+        octf[None, :] <= pred_oct[:, None]
+    )
+    chi2 = (du * du + dv * dv) * inv_sigma2_by_oct[
+        jnp.clip(octf, 0, L - 1)
+    ][None, :]
+    pair = in_win & lvl_ok & (chi2 <= cfg.mapping.chi2_mono)
+
+    dist = hamming.masked_distance_matrix(
+        m.mp_desc[pid], m.kf_desc[dst], p_ok, m.kf_feat_valid[dst], pair
+    )
+    fidx, best, _ = hamming.best_and_second(dist)
+    ok = (best <= cfg.matcher.th_low) & p_ok
+    ok = ok & matcher._column_unique_best(fidx, best, ok, m.n_feat)
+    return ok, jnp.maximum(fidx, 0)
+
+
 def fuse_in_neighbors(
     m: SlamMap,
     kf1,
@@ -340,12 +404,19 @@ def fuse_in_neighbors(
     scale_factors: jnp.ndarray,
     sigma2: jnp.ndarray,
     cfg: SlamConfig,
+    max_targets: int = 32,
 ) -> SlamMap:
     """LocalMapping::SearchInNeighbors (src/LocalMapping.cc:507-588): fuse
-    the new keyframe's points into its 1st+2nd covisibility neighbors
-    (sequentially, via lax.scan — matching the reference's in-order
-    duplicate resolution), then fuse the union of the neighbors' points back
-    into the new keyframe, and rebuild the observation lists."""
+    the new keyframe's points into its 1st+2nd covisibility neighbors, then
+    fuse the union of the neighbors' points back into the new keyframe, and
+    rebuild the observation lists.
+
+    The reference walks the targets sequentially with in-order duplicate
+    resolution; the scan here preserves that order, but its carry is only
+    the five arrays a fuse actually mutates (kf_obs, mp_valid and the three
+    counters, ~1.3 MB) instead of the whole map pytree (~25 MB) — the old
+    full-pytree carry made XLA rewrite every map plane 32x per pass.
+    """
     inv_s2 = 1.0 / sigma2
     W = covisibility_matrix(m)
     # second neighbors: top-5 covisible of each first neighbor
@@ -364,28 +435,79 @@ def fuse_in_neighbors(
         jnp.where(t_ok, targets, m.max_kf)
     ].min(jnp.arange(tt.shape[0], dtype=jnp.int32), mode="drop")
     t_ok = t_ok & (first_hit[jnp.maximum(tt, 0)] == jnp.arange(tt.shape[0]))
-    # cap the sequential fuse at the 32 most covisible targets (the scan's
-    # wall-clock is linear in targets; beyond ~32 the extra 2nd-neighbors
+    # cap at the most covisible targets (beyond ~32 the extra 2nd-neighbors
     # share almost no frustum with the new keyframe)
     rank = jnp.where(t_ok, W[kf1][jnp.maximum(targets, 0)] + 1, -1)
-    tvals, tsel = jax.lax.top_k(rank, min(32, rank.shape[0]))
-    targets = targets[tsel]
+    tvals, tsel = jax.lax.top_k(rank, min(max_targets, rank.shape[0]))
+    targets = jnp.maximum(targets[tsel], 0)
     t_ok = (tvals > 0) & t_ok[tsel]
+    T = targets.shape[0]
 
-    def step(m, tv):
-        t, ok = tv
-        src = jnp.zeros(m.max_mp, bool).at[
-            jnp.where(m.kf_obs[kf1] >= 0, jnp.maximum(m.kf_obs[kf1], 0), m.max_mp)
-        ].set(True, mode="drop")
-        m2 = _fuse_points_into_kf(
-            m, src, t, K, scale_factors, inv_s2, cfg, max_points=m.n_feat
+    # ---- forward: kf1's points into each target, in covisibility order ----
+    Mx = m.max_mp
+    Nf = m.n_feat
+
+    def step(carry, tv):
+        kf_obs_c, mp_valid_c, n_obs_c, found_c, visible_c = carry
+        dst, ok_t = tv
+        mc = m.replace(
+            kf_obs=kf_obs_c, mp_valid=mp_valid_c, mp_n_obs=n_obs_c,
+            mp_found=found_c, mp_visible=visible_c,
         )
-        m = jax.tree.map(lambda a, b: jnp.where(ok, a, b), m2, m)
-        return m, None
+        pid = jnp.maximum(kf_obs_c[kf1], 0)
+        p_has = (kf_obs_c[kf1] >= 0) & m.kf_feat_valid[kf1]
+        # dedup: earlier merges can leave two kf1 features referencing the
+        # same point; fuse each point once (the reference passes a unique
+        # MapPoint set — src/LocalMapping.cc:561)
+        first = jnp.full(Mx + 1, Nf, jnp.int32).at[
+            jnp.where(p_has, pid, Mx)
+        ].min(jnp.arange(Nf, dtype=jnp.int32), mode="drop")
+        p_has = p_has & (first[pid] == jnp.arange(Nf))
+        ok, f = _fuse_match_in_kf(
+            mc, pid, p_has, dst, K, scale_factors, inv_s2, cfg,
+            window_mult=3.0,
+        )
+        ok = ok & ok_t
+        q = kf_obs_c[dst, f]
 
-    m, _ = jax.lax.scan(step, m, (jnp.maximum(targets, 0), t_ok))
+        # add observations on free features
+        add = ok & (q < 0)
+        row = kf_obs_c[dst].at[jnp.where(add, f, Nf)].set(
+            jnp.where(add, pid, -1), mode="drop"
+        )
+        kf_obs_c = kf_obs_c.at[dst].set(row)
+        n_obs_c = n_obs_c.at[jnp.where(add, pid, Mx)].add(1, mode="drop")
 
-    # reverse direction: candidates = union of target keyframes' points
+        # merge duplicates (MapPoint::Replace, src/MapPoint.cc:183-221)
+        merge = ok & (q >= 0) & (q != pid) & mp_valid_c[jnp.maximum(q, 0)]
+        qs = jnp.maximum(q, 0)
+        p_wins = n_obs_c[pid] >= n_obs_c[qs]
+        winner = jnp.where(p_wins, pid, qs)
+        loser = jnp.where(p_wins, qs, pid)
+        r = jnp.arange(Mx, dtype=jnp.int32).at[
+            jnp.where(merge, loser, Mx)
+        ].set(jnp.where(merge, winner, -1), mode="drop")
+        r = r[r]  # resolve 2-chains within this target's batch
+        kf_obs_c = jnp.where(
+            kf_obs_c >= 0, r[jnp.maximum(kf_obs_c, 0)], kf_obs_c
+        )
+        mp_valid_c = mp_valid_c.at[jnp.where(merge, loser, Mx)].set(
+            False, mode="drop"
+        )
+        lw = jnp.where(merge, winner, Mx)
+        found_c = found_c.at[lw].add(jnp.where(merge, found_c[loser], 0), mode="drop")
+        visible_c = visible_c.at[lw].add(jnp.where(merge, visible_c[loser], 0), mode="drop")
+        n_obs_c = n_obs_c.at[lw].add(jnp.where(merge, n_obs_c[loser], 0), mode="drop")
+        return (kf_obs_c, mp_valid_c, n_obs_c, found_c, visible_c), None
+
+    carry0 = (m.kf_obs, m.mp_valid, m.mp_n_obs, m.mp_found, m.mp_visible)
+    carry, _ = jax.lax.scan(step, carry0, (targets, t_ok))
+    m = m.replace(
+        kf_obs=carry[0], mp_valid=carry[1], mp_n_obs=carry[2],
+        mp_found=carry[3], mp_visible=carry[4],
+    )
+
+    # ---- reverse direction: union of target keyframes' points into kf1 ----
     tmask = jnp.zeros(m.max_kf, bool).at[
         jnp.where(t_ok, targets, m.max_kf)
     ].set(True, mode="drop")
@@ -409,6 +531,11 @@ def cull_map_points(m: SlamMap, current_kf, cfg: SlamConfig) -> SlamMap:
     found_ratio = m.mp_found.astype(jnp.float32) / jnp.maximum(
         m.mp_visible.astype(jnp.float32), 1.0
     )
+    # Both tests only apply to RECENT points: the reference iterates
+    # mlpRecentAddedMapPoints, and a point leaves that list (graduates) at
+    # age >= 3 (src/LocalMapping.cc:198-216) — so the found-ratio test is
+    # implicitly capped at age <= 3 too. age here is keyframe-id distance,
+    # exactly the reference's nCurrentKFid - mnFirstKFid.
     bad = (found_ratio < cfg.mapping.culling_found_ratio) & (age <= 3)
     bad = bad | (
         (age >= 2) & (age <= 3)

@@ -37,6 +37,18 @@ _mapping_step_jit = jax.jit(
 )
 
 
+@jax.jit
+def _apply_counter_deltas(m, cur_visible, cur_found, snap_visible, snap_found):
+    """Carry tracking's visible/found increments across a mapping adoption.
+    Slot semantics are stable across a pass (point ids are never reused), so
+    an elementwise delta is exact for surviving points; counters merged into
+    a Replace winner during the pass keep the winner's merged totals."""
+    return m.replace(
+        mp_visible=m.mp_visible + (cur_visible - snap_visible),
+        mp_found=m.mp_found + (cur_found - snap_found),
+    )
+
+
 class System:
     def __init__(
         self,
@@ -76,11 +88,13 @@ class System:
         if enable_mapping:
             self.tracker.mapping_hook = self._on_new_keyframe
             self.tracker.mapper_idle_hook = self.mapper_idle
+        self.tracker.reset_hook = self._discard_pending
         self.localization_only = False
         self.mapping_device = mapping_device
         # in-flight asynchronous mapping pass: (pending map pytree, kf_id)
         self._pending_map = None
         self._pending_kf = -1
+        self._pending_counters = None
         self._mapping_enqueued_frame = -(10**9)
 
     # ------------------------------------------------------------------
@@ -92,6 +106,15 @@ class System:
     # idle" condition (src/Tracking.cc:1267) maps onto "no mapping in
     # flight" — exactly the throttle the reference's thread provides.
     # ------------------------------------------------------------------
+    def _discard_pending(self):
+        """Drop any in-flight async mapping pass (registered as the tracker's
+        reset_hook): adopting a pass computed from a pre-reset snapshot would
+        resurrect old keyframes into a session whose host mirrors
+        (n_kf_host, ref_kf, BoW index) have restarted from zero."""
+        self._pending_map = None
+        self._pending_kf = -1
+        self._pending_counters = None
+
     def _on_new_keyframe(self, kf_id: int):
         if self.localization_only:
             return
@@ -107,6 +130,11 @@ class System:
             *args, self.cfg, n_neighbors=self.mapping_neighbors,
         )
         self._pending_kf = kf_id
+        # snapshot of the found/visible counters at enqueue time: tracking
+        # keeps incrementing them while the pass is in flight, and adoption
+        # must not lose those increments (IncreaseVisible/IncreaseFound feed
+        # the 0.25 found-ratio culling gate — src/LocalMapping.cc:190)
+        self._pending_counters = (t.m.mp_visible, t.m.mp_found)
         self._mapping_enqueued_frame = t.frame_id
 
     def mapper_idle(self, force: bool = False) -> bool:
@@ -125,11 +153,22 @@ class System:
             return False
         m = self._pending_map
         kf_id = self._pending_kf
+        snap_counters = self._pending_counters
         self._pending_map = None
         self._pending_kf = -1
+        self._pending_counters = None
         t = self.tracker
         if self.mapping_device is not None:
             m = jax.device_put(m, jax.devices()[0])
+        # re-apply the visible/found counter increments tracking recorded
+        # while the pass was in flight (the adopted map was computed from the
+        # enqueue-time snapshot; dropping the deltas would undercount the
+        # IncreaseVisible/IncreaseFound statistics feeding found-ratio culling)
+        if snap_counters is not None:
+            m = _apply_counter_deltas(
+                m, t.m.mp_visible, t.m.mp_found,
+                snap_counters[0], snap_counters[1],
+            )
         t.m = m
         # mapping may have adjusted poses: refresh the cached last pose when
         # the tracker is still referencing the mapped keyframe
@@ -202,9 +241,15 @@ class System:
     def _pre_frame(self):
         self.mapper_idle()  # adopt a finished mapping pass, never blocks
         # keyframe pool nearly exhausted -> compact (ids are never reused,
-        # so long sequences outgrow the static pool even after culling)
-        if self.tracker.n_kf_host >= self.tracker.m.max_kf - 2:
-            self.compact()
+        # so long sequences outgrow the static pool even after culling).
+        # Only worth the pipeline drain + full-map permutation when culling
+        # actually freed slots; otherwise keyframe insertion just stays
+        # blocked (_need_new_keyframe checks n_kf_host) until culls land.
+        t = self.tracker
+        if t.n_kf_host >= t.m.max_kf - 2:
+            reclaimable = t.n_kf_host - int(t.m.kf_valid.sum())
+            if reclaimable >= 2:
+                self.compact()
 
     def track_monocular(self, image: np.ndarray, timestamp: float) -> TrackerOutput:
         """Per-frame entry (System::TrackMonocular, src/System.cc:307-361).
@@ -247,8 +292,7 @@ class System:
 
     def reset(self):
         """System::Reset (src/System.cc:375)."""
-        self._pending_map = None
-        self._pending_kf = -1
+        self._discard_pending()
         self.tracker.reset()
         self.tracker.trajectory.clear()
         self.tracker.frame_id = -1

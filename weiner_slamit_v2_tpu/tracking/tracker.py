@@ -692,6 +692,10 @@ class Tracker:
         # mapper_idle_hook(force=False) -> bool: adopt finished async mapping
         # output / report idleness (System.mapper_idle); None = always idle
         self.mapper_idle_hook = None
+        # reset_hook(): called by reset() so the pipeline can drop any
+        # in-flight async mapping pass (a stale pass adopted after reset
+        # would resurrect the old map into a fresh session)
+        self.reset_hook = None
         # optional PoseNet person-keypoint head, run per frame like the
         # reference's Frame ctor (src/Frame.cc:222-334); enable with
         # enable_posenet(). Results (device arrays) in last_person.
@@ -954,6 +958,28 @@ class Tracker:
         database, and per-frame state; keep the trajectory log."""
         from ..bow.database import BowIndex
 
+        # the trajectory prefix references the OLD map's keyframe poses; bake
+        # every entry to an absolute pose (ref=-1) before the poses vanish,
+        # exactly like compaction does for culled anchors
+        if self.trajectory:
+            T_cr = jnp.stack([jnp.asarray(p) for _, p, _ in self.trajectory])
+            refs = jnp.asarray(
+                [r for _, _, r in self.trajectory], jnp.int32
+            )
+            anchor = jnp.where(
+                (refs >= 0)[:, None, None],
+                self.m.kf_pose[jnp.maximum(refs, 0)],
+                jnp.eye(4)[None],
+            )
+            baked = T_cr @ anchor
+            self.trajectory = [
+                (ts, baked[i], -1)
+                for i, (ts, _, _) in enumerate(self.trajectory)
+            ]
+        # notify the pipeline (System) so an in-flight async mapping pass is
+        # discarded instead of being adopted into the fresh session
+        if self.reset_hook is not None:
+            self.reset_hook()
         self.m = mt.empty_map(self.cfg.capacity, self.cfg.orb.n_features)
         self.n_kf_host = 0
         self.state = NO_IMAGES_YET
