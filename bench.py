@@ -47,8 +47,11 @@ def main():
         ),
         # real-time cadence: the mapper turns a keyframe around in ~8 frames
         # (the reference's thread does the same under load; c1a still forces
-        # insertion after max_frames_between_kf)
-        tracking=TrackingConfig(mapping_latency_frames=8),
+        # insertion after max_frames_between_kf). frames_per_sync=4 pipelines
+        # four fused tracking steps per device->host sync once the map is
+        # mature (config.py TrackingConfig.frames_per_sync) — the ~22 ms
+        # tunnel sync (PLATFORM.md §1) otherwise floors the frame rate.
+        tracking=TrackingConfig(mapping_latency_frames=8, frames_per_sync=4),
     )
     cam = Camera.create(fx, fy, cx, cy, width=W, height=H)
 

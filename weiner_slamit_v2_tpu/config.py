@@ -83,6 +83,19 @@ class TrackingConfig:
     # reference mapper takes ~3-10 camera frames per keyframe on its target
     # hardware; c1a still forces insertion past max_frames_between_kf.
     mapping_latency_frames: int = 3
+    # Frames tracked per device->host synchronization. 1 = resolve the
+    # state machine every frame (fully deterministic, the reference's
+    # synchronous Track() semantics). N>1 pipelines N fused steps on the
+    # device and resolves LOST/keyframe decisions up to N-1 frames late —
+    # the decisions the reference's own async threads also make late. On a
+    # tunneled TPU where each sync costs ~22 ms (PLATFORM.md §1) this is
+    # the difference between ~35 and ~70 fps end-to-end.
+    frames_per_sync: int = 1
+    # With frames_per_sync > 1, resolve every frame anyway until the map has
+    # this many keyframes: keyframe-timing lateness hurts exactly while the
+    # map is young; a mature map tolerates it (the reference's asynchronous
+    # mapper imposes the same lateness on keyframe processing).
+    pipeline_warmup_kfs: int = 8
 
 
 @dataclass(frozen=True)

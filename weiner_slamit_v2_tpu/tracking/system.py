@@ -151,6 +151,15 @@ class System:
             return False
         if not (force or self._pending_map.kf_pose.is_ready()):
             return False
+        # resolve pipelined tracked frames BEFORE swapping the map: a late
+        # keyframe decision must freeze into the map those frames were
+        # tracked on. The resolution itself may re-enter this method (idle
+        # check inside NeedNewKeyFrame), adopt this pass, and enqueue a new
+        # one — re-check the token instead of adopting a stale reference.
+        kf_token = self._pending_kf
+        self.tracker.flush_pending()
+        if self._pending_kf != kf_token:
+            return self._pending_map is None
         m = self._pending_map
         kf_id = self._pending_kf
         snap_counters = self._pending_counters
@@ -171,8 +180,10 @@ class System:
             )
         t.m = m
         # mapping may have adjusted poses: refresh the cached last pose when
-        # the tracker is still referencing the mapped keyframe
-        if t.ref_kf == kf_id:
+        # the tracker is still referencing the mapped keyframe AND no newer
+        # frame pose has been chained since (pipelined mode advances
+        # last_Tcw past the keyframe)
+        if t.ref_kf == kf_id and t.last_kf_frame == t.frame_id:
             t.last_Tcw = t.m.kf_pose[kf_id]
         if self.loop_closer is not None:
             self.loop_closer.on_keyframe(kf_id)
@@ -180,8 +191,10 @@ class System:
 
     def finish(self):
         """Drain the pipeline (System::Shutdown analogue,
-        src/System.cc:382-399): block until any in-flight mapping pass is
-        adopted. Call before map export/eval."""
+        src/System.cc:382-399): resolve any pipelined tracked frames and
+        block until any in-flight mapping pass is adopted. Call before map
+        export/eval."""
+        self.tracker.flush_pending()
         self.mapper_idle(force=True)
 
     # ------------------------------------------------------------------
@@ -300,7 +313,7 @@ class System:
     # ------------------------------------------------------------------
     @property
     def map(self):
-        self.mapper_idle(force=True)  # external views see a drained pipeline
+        self.finish()  # external views see a drained pipeline
         return self.tracker.m
 
     def n_keyframes(self) -> int:

@@ -423,6 +423,10 @@ def _track_step(
     n_ref = jnp.sum(rhas & (m.mp_n_obs[rmp] >= min_obs)).astype(jnp.int32)
 
     vel_new = Tcw2 @ se3.inv(last_Tcw)
+    # keyframe-relative trajectory entry (src/Tracking.cc:666-694) computed
+    # in-program: the eager per-frame composition was 3 extra dispatches
+    # riding every frame's sync
+    T_cr = Tcw2 @ se3.inv(m.kf_pose[ref_kf])
     scalars = jnp.stack(
         [
             n_c.astype(jnp.int32),
@@ -434,7 +438,7 @@ def _track_step(
             n_kf_valid,
         ]
     )
-    return m2, Tcw2, obs_f, vel_new, scalars
+    return m2, Tcw2, obs_f, vel_new, T_cr, scalars
 
 
 @jax.jit
@@ -623,6 +627,12 @@ class TrackerOutput:
     Tcw: np.ndarray | jax.Array | None
     n_inliers: int
     created_kf: bool
+    # keyframe-relative pose for the trajectory log, already composed on
+    # device (None = compose eagerly; the ref_kf is read at append time)
+    T_cr: jax.Array | None = None
+    # True when the frame was pipelined (frames_per_sync > 1): state/Tcw are
+    # speculative until the next resolution; n_inliers is -1
+    deferred: bool = False
 
 
 class Tracker:
@@ -682,6 +692,10 @@ class Tracker:
         self.last_reloc_frame = -(10**9)
         self.init_feats: Optional[FrameFeatures] = None
         self._cur_depth: Optional[jnp.ndarray] = None
+        # frames tracked but not yet resolved (frames_per_sync > 1): each
+        # entry keeps the device arrays needed to make the LOST/keyframe
+        # decisions once the batched scalar fetch lands
+        self._pending_frames: list[dict] = []
         # per-frame trajectory log: (timestamp, T_cr = Tcw · Tref^-1, ref_kf)
         # — relative to the reference keyframe, like the reference's
         # (mlRelativeFramePoses, mlpReferences) lists (src/Tracking.cc:666-694)
@@ -777,8 +791,20 @@ class Tracker:
         else:
             out = self._relocalize(feats, timestamp)
 
+        if out.deferred:
+            # pipelined frames log their trajectory entry at resolution time
+            return out
         if out.Tcw is not None:
-            T_cr = jnp.asarray(out.Tcw) @ se3.inv(self.m.kf_pose[self.ref_kf])
+            # the fused step supplies T_cr on device; a frame that just froze
+            # a keyframe anchors to it with the identity (the new keyframe's
+            # pose IS this frame's pose — src/Tracking.cc:670-676); rare
+            # paths (init/reloc) compose eagerly
+            if out.created_kf:
+                T_cr = self._eye4
+            elif out.T_cr is not None:
+                T_cr = out.T_cr
+            else:
+                T_cr = jnp.asarray(out.Tcw) @ se3.inv(self.m.kf_pose[self.ref_kf])
             self.trajectory.append((timestamp, T_cr, self.ref_kf))
         elif self.trajectory:
             last = self.trajectory[-1]
@@ -901,7 +927,7 @@ class Tracker:
             local_th=jnp.asarray(5.0 if just_reloc else 1.0, jnp.float32)
         )
 
-        m2, Tcw, cur_obs, vel_new, scalars = _track_step(
+        m2, Tcw, cur_obs, vel_new, T_cr, scalars = _track_step(
             self.m, feats, self.last_obs, self.last_feats.octave,
             self.last_feats.angle, jnp.asarray(has_vel), vel, self.last_Tcw,
             jnp.asarray(self.ref_kf, jnp.int32), self.K, self.scale_factors,
@@ -913,6 +939,35 @@ class Tracker:
             pose_iters=cfg.optim.pose_opt_iters,
             histo_bins=cfg.matcher.histo_length,
         )
+
+        if (
+            cfg.tracking.frames_per_sync > 1
+            and self.n_kf_host >= cfg.tracking.pipeline_warmup_kfs
+        ):
+            # pipelined mode: chain the per-frame device state WITHOUT a
+            # sync; LOST/keyframe decisions are resolved in one batched
+            # fetch every frames_per_sync frames (_resolve_pending)
+            self.m = m2
+            self.velocity = vel_new
+            self.last_Tcw = Tcw
+            self.last_feats = feats
+            self.last_obs = cur_obs
+            self._pending_frames.append(dict(
+                scalars=scalars, feats=feats, Tcw=Tcw, cur_obs=cur_obs,
+                T_cr=T_cr, ts=ts, frame_id=self.frame_id,
+                ref_kf=self.ref_kf, recent_reloc=recent_reloc,
+                depth=self._cur_depth,
+            ))
+            if len(self._pending_frames) >= cfg.tracking.frames_per_sync:
+                self._resolve_pending()
+            if self.state != OK:  # the resolution just detected a loss
+                return TrackerOutput(self.state, None, -1, False, deferred=True)
+            return TrackerOutput(OK, Tcw, -1, False, deferred=True)
+
+        # leftover pipelined frames (e.g. the warmup gate re-engaged after a
+        # compaction) resolve first so trajectory entries stay ordered
+        if self._pending_frames:
+            self._resolve_pending()
         s = np.asarray(scalars)  # the ONE device->host sync of the frame
         n_matches = int(s[S_N_MATCHES])
         n_i2 = int(s[S_N_INL2])
@@ -945,7 +1000,63 @@ class Tracker:
             self._create_keyframe(feats, Tcw, cur_obs, ts)
             created = True
 
-        return TrackerOutput(OK, Tcw, n_i2, created)
+        return TrackerOutput(OK, Tcw, n_i2, created, T_cr=T_cr)
+
+    def flush_pending(self):
+        """Resolve any pipelined frames (blocking fetch). Called before any
+        host-side consumer of tracker state (trajectory export, reset,
+        compaction, map views)."""
+        self._resolve_pending()
+
+    def _resolve_pending(self):
+        """Resolve the deferred state machine for all pipelined frames with
+        ONE device->host fetch (frames_per_sync > 1 mode). Walks the records
+        in order: appends trajectory entries, replays the LOST test and the
+        NeedNewKeyFrame decision per frame (a keyframe is created from the
+        stored device arrays of the frame that earned it — up to N-1 frames
+        late, the same lateness the reference's mapping thread already
+        imposes on keyframe processing)."""
+        if not self._pending_frames:
+            return
+        recs = self._pending_frames
+        self._pending_frames = []
+        # one stacked fetch = one tunnel round trip for the whole batch
+        svecs = np.asarray(jnp.stack([r["scalars"] for r in recs]))
+        cfg = self.cfg
+        created_in_batch = False
+        for i, (rec, s) in enumerate(zip(recs, svecs)):
+            n_i2 = int(s[S_N_INL2])
+            n_kf_valid = int(s[S_N_KF])
+            min_local = (
+                cfg.tracking.min_inliers_localmap_reloc
+                if rec["recent_reloc"]
+                else cfg.tracking.min_inliers_localmap
+            )
+            if not bool(s[S_OK1]) or n_i2 < min_local:
+                # this frame was actually lost: frames after it in the batch
+                # chained on garbage — log them as lost (the reference
+                # repeats the last relative pose for lost frames,
+                # src/System.cc:420-433) and enter relocalization
+                self.state = LOST
+                for rec2 in recs[i:]:
+                    if self.trajectory:
+                        last = self.trajectory[-1]
+                        self.trajectory.append((rec2["ts"], last[1], last[2]))
+                self._maybe_auto_reset(n_kf_valid)
+                return
+            created = False
+            if not created_in_batch and self._need_new_keyframe(
+                n_i2, int(s[S_N_REF]), n_kf_valid, frame_id=rec["frame_id"]
+            ):
+                self._create_keyframe(
+                    rec["feats"], rec["Tcw"], rec["cur_obs"], rec["ts"],
+                    frame_id=rec["frame_id"], depth=rec["depth"],
+                )
+                created = created_in_batch = True
+            if created:
+                self.trajectory.append((rec["ts"], self._eye4, self.ref_kf))
+            else:
+                self.trajectory.append((rec["ts"], rec["T_cr"], rec["ref_kf"]))
 
     def _maybe_auto_reset(self, n_kf_valid: int):
         """Reset the whole session when tracking is lost soon after
@@ -958,6 +1069,9 @@ class Tracker:
         database, and per-frame state; keep the trajectory log."""
         from ..bow.database import BowIndex
 
+        # pipelined frames are gone with the map; drop them (resolving them
+        # against the cleared map would be meaningless)
+        self._pending_frames.clear()
         # the trajectory prefix references the OLD map's keyframe poses; bake
         # every entry to an absolute pose (ref=-1) before the poses vanish,
         # exactly like compaction does for culled anchors
@@ -995,12 +1109,16 @@ class Tracker:
         self.bow = BowIndex(self.cfg.capacity.max_keyframes)
 
     def _need_new_keyframe(
-        self, n_inliers: int, n_ref: int, n_kf_valid: int
+        self, n_inliers: int, n_ref: int, n_kf_valid: int,
+        frame_id: int | None = None,
     ) -> bool:
         """NeedNewKeyFrame (src/Tracking.cc:1210-1310), monocular branch,
         evaluated from the fused step's device-computed statistics.
-        Localization-only mode never inserts (Tracking.cc:1213)."""
+        Localization-only mode never inserts (Tracking.cc:1213).
+        frame_id: the frame being decided (defaults to the current frame;
+        pipelined resolution passes the recorded one)."""
         cfg = self.cfg
+        fid = self.frame_id if frame_id is None else frame_id
         if not self.allow_keyframes:
             return False
         if self.n_kf_host >= self.m.max_kf - 1:
@@ -1008,40 +1126,46 @@ class Tracker:
         # reloc gate: no keyframes right after relocalization while the map
         # is already mature (Tracking.cc:1222)
         if (
-            self.frame_id < self.last_reloc_frame + cfg.tracking.max_frames_between_kf
+            fid < self.last_reloc_frame + cfg.tracking.max_frames_between_kf
             and n_kf_valid > cfg.tracking.max_frames_between_kf
         ):
             return False
         c2 = (n_inliers < n_ref * cfg.tracking.keyframe_min_ratio) and n_inliers > 15
         if not c2:
             return False
-        c1a = self.frame_id >= self.last_kf_frame + cfg.tracking.max_frames_between_kf
+        c1a = fid >= self.last_kf_frame + cfg.tracking.max_frames_between_kf
         idle = self.mapper_idle_hook() if self.mapper_idle_hook else True
         # c1b requires the local mapper to be idle (Tracking.cc:1267); c1a
         # forces insertion, draining the pipeline first (the InterruptBA +
         # queue-drain analogue, Tracking.cc:1287-1303)
         c1b = (
-            self.frame_id >= self.last_kf_frame + cfg.tracking.min_frames_between_kf
+            fid >= self.last_kf_frame + cfg.tracking.min_frames_between_kf
         ) and idle
         if c1a and not idle:
             self.mapper_idle_hook(force=True)
             idle = True
         return bool(c1a or c1b)
 
-    def _create_keyframe(self, feats, Tcw, cur_obs, ts):
-        """CreateNewKeyFrame (src/Tracking.cc:1312-1407) + synchronous
+    def _create_keyframe(
+        self, feats, Tcw, cur_obs, ts, frame_id: int | None = None,
+        depth=None,
+    ):
+        """CreateNewKeyFrame (src/Tracking.cc:1312-1407) + asynchronous
         local-mapping pass (the reference queues to the mapping thread)."""
         if self.n_kf_host >= self.m.max_kf:
             return
+        fid = self.frame_id if frame_id is None else frame_id
+        if depth is None:
+            depth = self._cur_depth
         args = (
-            self.m, Tcw, feats, cur_obs, jnp.asarray(self.frame_id),
+            self.m, Tcw, feats, cur_obs, jnp.asarray(fid),
             jnp.asarray(ts, jnp.float32), jnp.asarray(self.ref_kf),
         )
-        if self._cur_depth is not None:
+        if depth is not None:
             # stereo/RGB-D: create close points directly from depth for
             # features without a map point (src/Tracking.cc:1340-1395)
             m, kf_id = _freeze_kf_depth(
-                *args, self._cur_depth, self.camera,
+                *args, depth, self.camera,
                 jnp.asarray(self.cfg.camera.depth_threshold, jnp.float32),
                 self.scale_factors,
                 jnp.asarray(self.cfg.camera.baseline_times_fx, jnp.float32),
@@ -1052,7 +1176,7 @@ class Tracker:
         self.n_kf_host += 1
         self.m = m
         self.ref_kf = kf
-        self.last_kf_frame = self.frame_id
+        self.last_kf_frame = fid
         self._register_kf_bow(kf)
         if self.mapping_hook is not None:
             # asynchronous: enqueues the mapping pass; the result is adopted
@@ -1197,6 +1321,7 @@ class Tracker:
         System::SaveTrajectoryTUM (src/System.cc:401-454). Per-frame
         relatives stay on device during tracking; this is one stacked
         device->host transfer."""
+        self.flush_pending()
         if not self.trajectory:
             return np.zeros(0), np.zeros((0, 4, 4))
         ts = np.asarray([t for t, _, _ in self.trajectory])
