@@ -1,5 +1,7 @@
 """Loop-closing integration tests on an out-and-back synthetic sequence."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -225,3 +227,171 @@ class TestLoopClosureEndToEnd:
         ate_post = ate_rmse(Twc, seq.gt_Twc[-len(Twc):])
         assert ate_pre is not None and np.isfinite(ate_post)
         assert ate_post < ate_pre, f"post {ate_post} !< pre {ate_pre}"
+
+
+class TestFixScale:
+    """bFixScale semantics for stereo/RGB-D loop closing
+    (src/Sim3Solver.cc:37-112, src/LoopClosing.cc:73, Optimizer.cc:818)."""
+
+    def test_pose_graph_fix_scale_keeps_metric_scale(self):
+        from weiner_slamit_v2_tpu.geometry import se3, sim3
+        from weiner_slamit_v2_tpu.optim.pose_graph import optimize_pose_graph
+
+        # chain of 5 poses; a loop edge measured with a 12% scale error
+        K = 5
+        poses = [jnp.eye(4)]
+        for i in range(1, K):
+            poses.append(
+                np.asarray(se3.exp(jnp.asarray([0.3, 0, 0.02 * i, 0, 0.05, 0])))
+                @ poses[-1]
+            )
+        S = jnp.stack([sim3.from_se3(jnp.asarray(p)) for p in poses])
+        kf_valid = jnp.ones(K, bool)
+        fixed = jnp.zeros(K, bool).at[0].set(True)
+        ei = jnp.asarray([0, 1, 2, 3, 0], jnp.int32)
+        ej = jnp.asarray([1, 2, 3, 4, 4], jnp.int32)
+        rel = [sim3.compose(S[j], sim3.inv(S[i])) for i, j in zip(ei[:4], ej[:4])]
+        # loop edge with an erroneous scale drift baked into the measurement
+        bad = sim3.compose(
+            jnp.diag(jnp.asarray([1.12, 1.12, 1.12, 1.0])),
+            sim3.compose(S[4], sim3.inv(S[0])),
+        )
+        edge_S = jnp.stack(rel + [bad])
+        ev = jnp.ones(5, bool)
+        for fix in (False, True):
+            S_opt = optimize_pose_graph(
+                S, kf_valid, fixed, ei, ej, edge_S, ev, n_iters=15,
+                fix_scale=fix,
+            )
+            scales = np.asarray(sim3.scale_of(S_opt))
+            if fix:
+                # metric map: scale dof frozen at exactly 1
+                np.testing.assert_allclose(scales, 1.0, atol=1e-6)
+            else:
+                # mono: the solver spreads the measured scale drift
+                assert np.abs(scales - 1.0).max() > 0.01, scales
+
+    def test_loop_closer_fixes_scale_for_rgbd(self):
+        from weiner_slamit_v2_tpu.config import SlamConfig
+        from weiner_slamit_v2_tpu.geometry import sim3
+        from weiner_slamit_v2_tpu.optim.sim3_solver import ransac_sim3
+
+        cfg = SlamConfig(sensor="rgbd")
+        from weiner_slamit_v2_tpu.tracking.loop_closing import LoopCloser
+
+        lc = LoopCloser(cfg, tracker=None)
+        assert lc.fix_scale is True
+        assert LoopCloser(SlamConfig(), tracker=None).fix_scale is False
+
+        # a fix-scale Sim3 RANSAC on deliberately scaled data returns s == 1
+        rng = np.random.default_rng(0)
+        X1 = rng.uniform(-1, 1, (60, 3)).astype(np.float32) + [0, 0, 5]
+        R = np.asarray(
+            [[0.9950042, -0.0998334, 0], [0.0998334, 0.9950042, 0], [0, 0, 1]],
+            np.float32,
+        )
+        X2 = 1.25 * (X1 @ R.T) + np.asarray([0.2, -0.1, 0.3], np.float32)
+        K = jnp.asarray([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        z1 = np.maximum(X1[:, 2], 1e-6); z2 = np.maximum(X2[:, 2], 1e-6)
+        uv1 = np.stack([500 * X1[:, 0] / z1 + 320, 500 * X1[:, 1] / z1 + 240], 1)
+        uv2 = np.stack([500 * X2[:, 0] / z2 + 320, 500 * X2[:, 1] / z2 + 240], 1)
+        w = jnp.ones(60)
+        valid = jnp.ones(60, bool)
+        S, inl, n = ransac_sim3(
+            jnp.asarray(X2), jnp.asarray(X1), valid, jnp.asarray(uv2, jnp.float32),
+            jnp.asarray(uv1, jnp.float32), w, w, K,
+            jax.random.PRNGKey(0), fix_scale=True,
+        )
+        s = float(sim3.scale_of(S))
+        assert abs(s - 1.0) < 1e-5, s
+
+
+class TestConcurrentGlobalBA:
+    """The loop-triggered global BA runs as an async device future and is
+    adopted with spanning-tree propagation to keyframes created while it ran
+    (RunGlobalBundleAdjustment, src/LoopClosing.cc:658-758)."""
+
+    def test_adopt_gba_propagates_to_new_keyframes(self):
+        from weiner_slamit_v2_tpu.config import MapCapacityConfig
+        from weiner_slamit_v2_tpu.geometry import se3
+        from weiner_slamit_v2_tpu.slam_map import types as mt
+        from weiner_slamit_v2_tpu.tracking.loop_closing import _adopt_gba
+
+        cap = MapCapacityConfig(max_keyframes=8, max_map_points=64,
+                                max_obs_per_point=4)
+        m = mt.empty_map(cap, n_features=16)
+        N = 16
+        mk = lambda xi: se3.exp(jnp.asarray(xi, jnp.float32))
+        feats = dict(
+            xy_und=jnp.zeros((N, 2)), octave=jnp.zeros(N, jnp.int32),
+            angle=jnp.zeros(N), desc=jnp.zeros((N, 8), jnp.uint32),
+            feat_valid=jnp.ones(N, bool), obs=jnp.full(N, -1, jnp.int32),
+        )
+        poses = [mk([0, 0, 0, 0, 0, 0]), mk([0.5, 0, 0, 0, 0.1, 0]),
+                 mk([1.0, 0, 0, 0, 0.2, 0])]
+        for i, T in enumerate(poses):
+            m, kf = mt.add_keyframe(
+                m, T, feats["xy_und"], feats["octave"], feats["angle"],
+                feats["desc"], feats["feat_valid"], feats["obs"],
+                jnp.asarray(i), jnp.asarray(float(i)),
+                jnp.asarray(i - 1),
+            )
+        # a point observed by kf0 at a known camera-frame position
+        m, ids = mt.add_map_points(
+            m, pos=jnp.asarray([[0.0, 0.0, 5.0]]),
+            desc=jnp.zeros((1, 8), jnp.uint32),
+            normal=jnp.asarray([[0.0, 0.0, 1.0]]),
+            min_dist=jnp.asarray([0.1]), max_dist=jnp.asarray([100.0]),
+            kf1=jnp.asarray([0], jnp.int32), feat1=jnp.asarray([0], jnp.int32),
+            kf2=jnp.asarray([-1], jnp.int32), feat2=jnp.asarray([0], jnp.int32),
+            valid=jnp.asarray([True]),
+        )
+        # snapshot covers kf 0..2; a 4th keyframe arrives during the BA
+        n_kf_snap = 3
+        child = mk([1.5, 0.1, 0, 0, 0.3, 0])
+        m, kf3 = mt.add_keyframe(
+            m, child, feats["xy_und"], feats["octave"], feats["angle"],
+            feats["desc"], feats["feat_valid"], feats["obs"],
+            jnp.asarray(3), jnp.asarray(3.0), jnp.asarray(2),  # parent = kf2
+        )
+        # BA result: rigidly move the first three keyframes by delta
+        delta = mk([0.05, -0.02, 0.01, 0.02, 0.01, -0.01])
+        cam_ids = jnp.asarray([0, 1, 2, -1, -1, -1, -1, -1], jnp.int32)
+        ba_pose = jnp.stack([poses[0] @ se3.inv(delta),
+                             poses[1] @ se3.inv(delta),
+                             poses[2] @ se3.inv(delta)]
+                            + [jnp.eye(4)] * 5)
+        # the point was in the BA too: new position = delta applied in world
+        pt_new = se3.apply(delta, jnp.asarray([[0.0, 0.0, 5.0]]))
+        point_ids = jnp.full(64, -1, jnp.int32).at[0].set(0)
+        ba_pts = jnp.zeros((64, 3)).at[0].set(pt_new[0])
+        m2 = _adopt_gba(m, ba_pose, cam_ids, ba_pts, point_ids,
+                        jnp.asarray(n_kf_snap, jnp.int32))
+        # kf3 (created during the BA) must follow its parent kf2: the
+        # relative pose kf3->kf2 is preserved exactly
+        rel_before = np.asarray(child @ se3.inv(poses[2]))
+        rel_after = np.asarray(
+            m2.kf_pose[3] @ se3.inv(jnp.asarray(m2.kf_pose[2]))
+        )
+        np.testing.assert_allclose(rel_after, rel_before, atol=1e-5)
+        # and kf2 itself took the BA pose
+        np.testing.assert_allclose(
+            np.asarray(m2.kf_pose[2]), np.asarray(ba_pose[2]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(m2.mp_pos[0]), np.asarray(pt_new[0]), atol=1e-5
+        )
+
+    def test_tracking_continues_through_loop_gba(self, loop_run):
+        """End-to-end: with the loop machinery on, the global BA is enqueued
+        async and adopted at the latest by finish(); the map stays finite."""
+        seq, sys_, states = loop_run
+        sys_.finish()
+        lc = sys_.loop_closer
+        assert lc is not None
+        # finish() force-adopts any in-flight global BA
+        assert lc._pending_gba is None
+        m = sys_.map
+        assert bool(jnp.all(jnp.isfinite(m.kf_pose)))
+        assert bool(jnp.all(jnp.isfinite(jnp.where(
+            m.mp_valid[:, None], m.mp_pos, 0.0))))

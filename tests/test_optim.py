@@ -283,3 +283,68 @@ class TestStereoEdges:
         assert e_st < e_mono, f"stereo {e_st} !< mono {e_mono}"
         # stereo chi2 gate is the 3-dof 7.815 (most noisy obs stay inliers)
         assert int(res_st.obs_inlier.sum()) > 0.8 * has.sum()
+
+
+class TestStereoPoseOpt:
+    """Stereo 3-dof rows in motion-only pose optimization
+    (EdgeStereoSE3ProjectXYZOnlyPose, Optimizer.cc:274-310)."""
+
+    def _setup(self, seed=0, n=200, pix_noise=0.3):
+        from weiner_slamit_v2_tpu.optim.pose_opt import optimize_pose
+
+        rng = np.random.default_rng(seed)
+        cam = Camera.create(500.0, 500.0, 320.0, 240.0)
+        K = jnp.asarray(np.asarray(cam.K), jnp.float32)
+        X = np.stack(
+            [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n), rng.uniform(4, 9, n)],
+            axis=1,
+        ).astype(np.float32)
+        gt = se3.exp(jnp.asarray([0.1, -0.05, 0.2, 0.02, -0.03, 0.01]))
+        Pc = np.asarray(se3.apply(gt, jnp.asarray(X)))
+        z = Pc[:, 2]
+        uv = np.stack(
+            [500.0 * Pc[:, 0] / z + 320.0, 500.0 * Pc[:, 1] / z + 240.0], axis=1
+        ).astype(np.float32)
+        u_clean = uv[:, 0].copy()
+        uv += rng.normal(0, pix_noise, uv.shape).astype(np.float32)
+        bf = 50.0
+        # right-u measured independently of the left-u noise
+        ur = (
+            u_clean - bf / z + rng.normal(0, pix_noise, n)
+        ).astype(np.float32)
+        return optimize_pose, K, jnp.asarray(X), jnp.asarray(uv), gt, ur, bf
+
+    def test_stereo_rows_converge_and_gate_fires(self):
+        optimize_pose, K, X, uv, gt, ur, bf = self._setup()
+        n = X.shape[0]
+        w = jnp.ones(n)
+        valid = jnp.ones(n, bool)
+        T0 = se3.exp(jnp.asarray([0.05, 0.02, -0.04, 0.01, 0.0, -0.01])) @ gt
+        # corrupt the right-u of 20 observations only (their 2-dof residual
+        # stays perfect): the 3-dof 7.815 gate must reject exactly them
+        ur_bad = np.asarray(ur).copy()
+        ur_bad[:20] -= 25.0
+        T_st, inl, n_inl = optimize_pose(
+            T0, X, uv, w, valid, K, ur=jnp.asarray(ur_bad),
+            bf=jnp.asarray(bf, jnp.float32),
+        )
+        err = float(np.linalg.norm(np.asarray(se3.log(T_st @ se3.inv(gt)))))
+        assert err < 5e-3, err
+        inl = np.asarray(inl)
+        assert not inl[:20].any(), "corrupted-ur obs survived the 7.815 gate"
+        assert inl[20:].mean() > 0.95
+
+    def test_stereo_beats_mono_with_few_points(self):
+        # with few, depth-ambiguous points the direct depth rows win
+        optimize_pose, K, X, uv, gt, ur, bf = self._setup(seed=3, n=30, pix_noise=0.8)
+        n = X.shape[0]
+        w = jnp.ones(n)
+        valid = jnp.ones(n, bool)
+        T0 = se3.exp(jnp.asarray([0.08, -0.03, 0.1, 0.02, 0.01, 0.0])) @ gt
+        T_mono, _, _ = optimize_pose(T0, X, uv, w, valid, K)
+        T_st, _, _ = optimize_pose(
+            T0, X, uv, w, valid, K, ur=jnp.asarray(ur), bf=jnp.asarray(bf, jnp.float32)
+        )
+        e_mono = float(np.linalg.norm(np.asarray(se3.log(T_mono @ se3.inv(gt)))))
+        e_st = float(np.linalg.norm(np.asarray(se3.log(T_st @ se3.inv(gt)))))
+        assert e_st <= e_mono * 1.05, (e_st, e_mono)

@@ -149,3 +149,45 @@ print("MULTIHOST_OK", jax.process_index())
         for p, (so, se) in zip(procs, outs):
             assert p.returncode == 0, f"stderr:\n{se[-3000:]}"
             assert "MULTIHOST_OK" in so
+
+
+class TestShardedBAStereo:
+    def test_sharded_matches_local_stereo(self):
+        """A stereo problem sharded over the mesh must keep its 3-dof rows:
+        result equality with the local solver (shard_problem previously
+        dropped obs_ur/obs_has_ur/bf)."""
+        code = """
+import jax, numpy as np, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache_md")
+import sys; sys.path.insert(0, %r)
+from tests.test_optim import make_ba_problem
+from weiner_slamit_v2_tpu.geometry import se3
+from weiner_slamit_v2_tpu.optim.local_ba import solve_ba
+from weiner_slamit_v2_tpu.parallel.sharded_ba import (
+    make_ba_mesh, shard_problem, solve_ba_sharded)
+
+prob, gt_poses, X_gt = make_ba_problem(n_cams=4, n_pts=64, max_obs=6, seed=0)
+bf = 50.0
+cams = np.maximum(np.asarray(prob.obs_cam), 0)
+Pc = np.asarray(se3.apply(gt_poses[jnp.asarray(cams)], jnp.asarray(X_gt)[:, None, :]))
+z = np.maximum(Pc[..., 2], 1e-6)
+ur = (500.0 * Pc[..., 0] / z + 320.0 - bf / z).astype(np.float32)
+prob = prob.replace(
+    obs_ur=jnp.asarray(ur),
+    obs_has_ur=jnp.asarray(np.asarray(prob.obs_valid)),
+    bf=jnp.asarray(bf, jnp.float32),
+)
+res_local = solve_ba(prob, 3, 3)
+mesh = make_ba_mesh(jax.devices())
+prob_s = shard_problem(prob, mesh)
+assert prob_s.obs_ur is not None and prob_s.bf is not None
+res_shard = solve_ba_sharded(prob_s, mesh, iters1=3, iters2=3)
+dp = float(jnp.abs(res_local.cam_pose - res_shard.cam_pose).max())
+dx = float(jnp.abs(res_local.points - res_shard.points).max())
+di = int((res_local.obs_inlier != res_shard.obs_inlier).sum())
+print("MAXDIFF", dp, dx, di)
+assert dp < 1e-3 and dx < 1e-2 and di == 0, (dp, dx, di)
+print("OK")
+""" % (REPO,)
+        out = run_in_subprocess(code, n_devices=2)
+        assert "OK" in out, out

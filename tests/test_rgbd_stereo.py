@@ -159,22 +159,51 @@ class TestCheckpoint:
         np.testing.assert_array_equal(extra["note"], [1, 2, 3])
 
     def test_localize_against_loaded_map(self, tmp_path):
-        from weiner_slamit_v2_tpu.slam_map.checkpoint import load_map, save_map
+        seq = make_synthetic_sequence(n_frames=12, h=H, w=W, seed=23, motion="orbit", K=K)
+        sys_ = System(small_config(), Camera.create(FX, FX, 159.5, 119.5, width=W, height=H))
+        for f in seq.frames[:8]:
+            sys_.track_monocular(f.image, f.timestamp)
+        p = tmp_path / "map.npz"
+        sys_.save_map(str(p))
+
+        sys2 = System(small_config(), Camera.create(FX, FX, 159.5, 119.5, width=W, height=H))
+        sys2.load_map(str(p))
+        # host mirrors restored from the checkpoint (System::SaveMap TODO,
+        # include/System.h:119-121)
+        assert sys2.tracker.n_kf_host == int(np.asarray(sys_.map.n_kf))
+        assert sys2.tracker.state == "LOST"
+        sys2.activate_localization_mode()
+        out = sys2.track_monocular(seq.frames[8].image, seq.frames[8].timestamp)
+        assert out.state == "OK"
+        assert out.n_inliers > 20
+
+    def test_localize_after_best_candidate_culled(self, tmp_path):
+        """Relocalization must enumerate candidates from kf_valid: cull a
+        keyframe after loading and the session still localizes via the
+        survivors (KeyFrameDatabase::erase semantics,
+        src/KeyFrameDatabase.cc:60-75)."""
+        from weiner_slamit_v2_tpu.tracking.local_mapping import (
+            invalidate_keyframe,
+        )
 
         seq = make_synthetic_sequence(n_frames=12, h=H, w=W, seed=23, motion="orbit", K=K)
         sys_ = System(small_config(), Camera.create(FX, FX, 159.5, 119.5, width=W, height=H))
         for f in seq.frames[:8]:
             sys_.track_monocular(f.image, f.timestamp)
         p = tmp_path / "map.npz"
-        save_map(str(p), sys_.map)
+        sys_.save_map(str(p))
 
         sys2 = System(small_config(), Camera.create(FX, FX, 159.5, 119.5, width=W, height=H))
-        m, _ = load_map(str(p))
-        sys2.tracker.m = m
-        sys2.tracker.state = "LOST"
-        sys2.tracker.last_Tcw = jnp.eye(4)
-        sys2.tracker.ref_kf = 0
+        sys2.load_map(str(p))
+        # cull the last keyframe (the most likely best candidate for a
+        # frame just past the mapped prefix) directly on the device map
+        last_kf = sys2.tracker.ref_kf
+        sys2.tracker.m = invalidate_keyframe(
+            sys2.tracker.m, jnp.asarray(last_kf), rebuild=True
+        )
         sys2.activate_localization_mode()
         out = sys2.track_monocular(seq.frames[8].image, seq.frames[8].timestamp)
         assert out.state == "OK"
         assert out.n_inliers > 20
+        # the culled keyframe was never offered as a candidate
+        assert not bool(sys2.tracker.m.kf_valid[last_kf])

@@ -54,6 +54,15 @@ def erase_keyframe_bow(db: KeyframeDatabase, kf_id: jnp.ndarray) -> KeyframeData
 
 
 @jax.jit
+def _mask_db_valid(db: KeyframeDatabase, kf_valid: jnp.ndarray) -> KeyframeDatabase:
+    """Zero the rows of keyframes no longer valid in the map."""
+    keep = db.has_entry & kf_valid
+    return db.replace(
+        bow=jnp.where(keep[:, None], db.bow, 0.0), has_entry=keep
+    )
+
+
+@jax.jit
 def build_db_from_keyframes(
     vocab: Vocabulary,
     kf_desc: jnp.ndarray,        # (K, N, 8)
@@ -188,6 +197,15 @@ class BowIndex:
     def erase(self, kf_id: int) -> None:
         if self.db is not None:
             self.db = erase_keyframe_bow(self.db, jnp.asarray(kf_id))
+
+    def mask_valid(self, kf_valid: jnp.ndarray) -> None:
+        """Batch erase of every culled keyframe's row
+        (KeyFrameDatabase::erase, src/KeyFrameDatabase.cc:60-75): the culls
+        happen on device inside the mapping pass, so the host learns about
+        them lazily — callers invoke this with the map's kf_valid before
+        querying (one fused dispatch, no sync)."""
+        if self.db is not None:
+            self.db = _mask_db_valid(self.db, kf_valid)
 
     def permute(self, kf_map: jnp.ndarray) -> None:
         """Renumber database rows after map compaction: row old -> kf_map[old]

@@ -73,12 +73,15 @@ def load_sequence(args):
             None,
         )
     if args.dataset == "kitti":
+        # the sequence's own calib.txt wins over any range preset (KITTI
+        # calibration differs per recording date; presets only cover the
+        # ranges ORB-SLAM2 ships YAMLs for)
         return (
             datasets.load_kitti_odometry(
                 args.root, args.sequence, max_frames=args.frames,
                 stereo=args.sensor == "stereo",
             ),
-            None,
+            datasets.load_kitti_calib(args.root, args.sequence),
         )
     return datasets.load_euroc(args.root, max_frames=args.frames), None
 
@@ -99,7 +102,14 @@ def main(argv=None) -> int:
         name = args.preset or (
             f"kitti_{args.sequence}" if args.dataset == "kitti" else args.dataset
         )
-        cfg = preset(name)
+        try:
+            cfg = preset(name)
+        except KeyError:
+            if args.preset:
+                raise
+            # no preset for this sequence (e.g. kitti_13..21): the
+            # sequence's own calib.txt supplies the camera below
+            cfg = SlamConfig()
     else:
         cfg = SlamConfig()
 
@@ -109,10 +119,8 @@ def main(argv=None) -> int:
 
     sys_ = System(cfg, enable_loop_closing=not args.no_loop_closing)
     if args.load_map:
-        from .slam_map.checkpoint import load_map
-
-        m, _ = load_map(args.load_map)
-        sys_.tracker.m = m
+        # restores host mirrors + BoW database, enters LOST -> relocalize
+        sys_.load_map(args.load_map)
     if args.localization_only:
         sys_.activate_localization_mode()
 

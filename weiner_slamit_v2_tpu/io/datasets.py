@@ -141,6 +141,45 @@ def load_kitti_odometry(
     return Sequence(frames=frames, gt_Twc=gt)
 
 
+def load_kitti_calib(root: str, sequence: str = "00") -> dict | None:
+    """Parse the sequence's own calib.txt (KITTI ships per-sequence
+    calibration; hardcoded per-range presets silently apply wrong fx/cx to
+    sequences 11-21, which come from multiple recording dates). Returns
+    CameraConfig kwargs or None when the file is absent.
+
+    Format: "P0: fx 0 cx 0  0 fy cy 0  0 0 1 0" per projection matrix;
+    the stereo baseline*fx is -P1[0,3]."""
+    path = os.path.join(root, "sequences", sequence, "calib.txt")
+    if not os.path.exists(path):
+        return None
+    P = {}
+    with open(path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, vals = line.split(":", 1)
+            P[key.strip()] = np.fromstring(vals, sep=" ").reshape(3, 4)
+    if "P0" not in P:
+        return None
+    p0 = P["P0"]
+    out = dict(
+        fx=float(p0[0, 0]), fy=float(p0[1, 1]),
+        cx=float(p0[0, 2]), cy=float(p0[1, 2]),
+        k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0, fps=10.0,
+        depth_threshold=135.0,
+    )
+    if "P1" in P:
+        out["baseline_times_fx"] = float(-P["P1"][0, 3])
+    # image size from the first frame (calib.txt does not record it)
+    left_dir = os.path.join(root, "sequences", sequence, "image_0")
+    if os.path.isdir(left_dir):
+        names = sorted(os.listdir(left_dir))
+        if names:
+            img = _load_gray(os.path.join(left_dir, names[0]))
+            out["height"], out["width"] = int(img.shape[0]), int(img.shape[1])
+    return out
+
+
 def load_euroc(root: str, max_frames: int | None = None) -> Sequence:
     """Load a EuRoC MAV sequence (mav0/cam0 + state_groundtruth_estimate0)."""
     cam_dir = os.path.join(root, "mav0", "cam0")

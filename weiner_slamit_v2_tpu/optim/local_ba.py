@@ -258,8 +258,17 @@ def build_normal_equations(cam_pose, points, K, obs_cam, obs_uv, w, C,
         return t + Jur[a] * Jpur[b] * wur if stereo else t
 
     # ---- point blocks: 6 unique entries of the 3x3 symmetric Hpp ----------
+    # Sanitize per-observation products before any reduction: with the
+    # one-hot matmul layout a single non-finite observation would poison
+    # EVERY camera block (0 * NaN = NaN spreads through the contraction),
+    # whereas the old scatter-add corrupted only its own block. Zeroing the
+    # bad product is exactly "drop the observation", which the chi2 gates
+    # would do next round anyway.
+    def finite(plane):
+        return jnp.where(jnp.isfinite(plane), plane, 0.0)
+
     def psum(plane):
-        return jnp.sum(plane.reshape(P, O), axis=1)
+        return jnp.sum(finite(plane).reshape(P, O), axis=1)
 
     Hpp = jnp.stack(
         [
@@ -285,8 +294,8 @@ def build_normal_equations(cam_pose, points, K, obs_cam, obs_uv, w, C,
         axis=-2,
     )  # (N, 6, 6)
     bc_blk = jnp.stack([-crhs(a) for a in range(6)], axis=-1)  # (N, 6)
-    Hcc = (onehot.T @ Hcc_blk.reshape(N, 36)).reshape(C, 6, 6)
-    bc = onehot.T @ bc_blk
+    Hcc = (onehot.T @ finite(Hcc_blk).reshape(N, 36)).reshape(C, 6, 6)
+    bc = onehot.T @ finite(bc_blk)
 
     # ---- cross term in matmul layout: U (C, 6, P, 3) -> (6C, 3P) ----------
     G = jnp.stack(
@@ -299,7 +308,9 @@ def build_normal_equations(cam_pose, points, K, obs_cam, obs_uv, w, C,
     # U[c, p] = sum over point p's observations with camera c — a per-point
     # contraction over the O axis (einsum beats the (cam, p) scatter-add
     # ~2x at these sizes on TPU; measured in tools/profile_ba.py)
-    U5 = jnp.einsum("poc,pox->pcx", onehot.reshape(P, O, C), G.reshape(P, O, 18))
+    U5 = jnp.einsum(
+        "poc,pox->pcx", onehot.reshape(P, O, C), finite(G).reshape(P, O, 18)
+    )
     U = U5.reshape(P, C, 6, 3).transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
     return Hcc, bc, Hpp, bp, U
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..geometry import sim3
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
+@partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
 def optimize_pose_graph(
     S_init: jnp.ndarray,      # (K, 4, 4) initial Sim3 poses (world->kf)
     kf_valid: jnp.ndarray,    # (K,) bool
@@ -38,8 +38,14 @@ def optimize_pose_graph(
     edge_valid: jnp.ndarray,  # (E,)
     n_iters: int = 20,
     lambda_init: float = 1e-6,
+    fix_scale: bool = False,
 ) -> jnp.ndarray:
-    """Returns optimized (K, 4, 4) Sim3 poses."""
+    """Returns optimized (K, 4, 4) Sim3 poses.
+
+    fix_scale freezes the log-scale dof of every vertex (VertexSim3Expmap
+    _fix_scale for stereo/RGB-D — src/Optimizer.cc:818, set from bFixScale
+    at src/LoopClosing.cc:73): a metric map must never be rescaled by a
+    loop closure."""
     K = S_init.shape[0]
     E = edge_i.shape[0]
     ei = jnp.maximum(edge_i, 0)
@@ -108,6 +114,13 @@ def optimize_pose_graph(
             jnp.where(free, 0.0, 1.0)[:, None, None] * jnp.eye(7)
         )
         b = jnp.where(free[:, None], b, 0.0)
+        if fix_scale:
+            # freeze the sigma (log-scale) dof: zero its rows/cols, unit
+            # diagonal -> dx[:, 6] == 0 exactly
+            sel = jnp.arange(7) == 6
+            H = jnp.where(sel[None, None, :, None] | sel[None, None, None, :], 0.0, H)
+            H = H.at[jnp.arange(K), jnp.arange(K), 6, 6].set(1.0)
+            b = jnp.where(sel[None, :], 0.0, b)
 
         Hd = H.transpose(0, 2, 1, 3).reshape(K * 7, K * 7) + 1e-8 * jnp.eye(K * 7)
         dx = jax.scipy.linalg.solve(Hd, b.reshape(-1), assume_a="pos").reshape(K, 7)

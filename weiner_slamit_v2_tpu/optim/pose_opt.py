@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..geometry import se3
 
 CHI2_MONO = 5.991
+CHI2_STEREO = 7.815     # 3-dof 95% gate (Optimizer.cc:310)
 HUBER_MONO = 2.4476519  # sqrt(5.991), Optimizer.cc:287
 
 
@@ -63,12 +64,15 @@ def solve6(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(x)
 
 
-def _residuals_jacobian_soa(Tcw, X, uv, fx, fy, cx, cy):
+def _residuals_jacobian_soa(Tcw, X, uv, fx, fy, cx, cy, ur=None, bf=0.0):
     """Residuals + Jacobian rows in struct-of-arrays layout.
 
-    Returns (ru (N,), rv (N,), Ju (6, N), Jv (6, N), z (N,)) where Ju/Jv are
-    the per-observation gradient rows of u/v wrt the left-mult tangent
-    [upsilon, omega]: J = dproj/dP · [I | -hat(P)].
+    Returns (ru (N,), rv (N,), Ju (6, N), Jv (6, N), z (N,)[, rur, Jur])
+    where Ju/Jv are the per-observation gradient rows of u/v wrt the
+    left-mult tangent [upsilon, omega]: J = dproj/dP · [I | -hat(P)].
+    With ur (the observed stereo right-u, -1 = monocular feature) the third
+    residual row u - bf/z - ur of EdgeStereoSE3ProjectXYZOnlyPose
+    (Optimizer.cc:274-310) is returned too.
     """
     R = Tcw[:3, :3]
     t = Tcw[:3, 3]
@@ -91,7 +95,14 @@ def _residuals_jacobian_soa(Tcw, X, uv, fx, fy, cx, cy):
         [zero, fy * iz, -fy * y * iz2,
          -fy * (1.0 + y * y * iz2), fy * x * y * iz2, fy * x * iz]
     )
-    return ru, rv, Ju, Jv, z
+    if ur is None:
+        return ru, rv, Ju, Jv, z
+    # stereo right-u row: u_r = u - bf/z; d(u_r) = du + bf/z^2 · dz with
+    # dz/d[t, omega] = [0, 0, 1, y, -x, 0]
+    rur = (fx * x * iz + cx) - bf * iz - ur
+    Jz = jnp.stack([zero, zero, jnp.ones_like(x), y, -x, zero])
+    Jur = Ju + (bf * iz2) * Jz
+    return ru, rv, Ju, Jv, z, rur, Jur
 
 
 @partial(jax.jit, static_argnames=("n_rounds", "n_iters"))
@@ -106,6 +117,8 @@ def optimize_pose(
     n_iters: int = 10,
     chi2_th: float = CHI2_MONO,
     lambda_init: float = 1e-3,
+    ur: jnp.ndarray | None = None,
+    bf: jnp.ndarray | float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Optimize a single camera pose against fixed 3D points.
 
@@ -115,15 +128,43 @@ def optimize_pose(
       inv_sigma2: (N,) per-observation information (1/sigma^2 by octave).
       valid: (N,) observation mask.
       K: (3,3) intrinsics.
+      ur: (N,) observed stereo right-u per feature, -1 = monocular feature
+        (mvuRight). When given, features with ur >= 0 contribute the 3-dof
+        stereo edge with chi2 gate 7.815 and Huber delta sqrt(7.815)
+        (EdgeStereoSE3ProjectXYZOnlyPose, Optimizer.cc:274-310,390-420).
+      bf: stereo baseline x fx (Camera.bf).
 
     Returns (Tcw (4,4), inliers (N,) bool, n_inliers ()).
     """
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-    delta2 = CHI2_MONO  # Huber delta^2
+    stereo = ur is not None
+    if stereo:
+        is_st = ur >= 0
+        delta2 = jnp.where(is_st, CHI2_STEREO, CHI2_MONO)  # Huber delta^2
+        th = jnp.where(is_st, CHI2_STEREO, chi2_th)
+    else:
+        delta2 = CHI2_MONO
+        th = chi2_th
+
+    def resid(Tcw):
+        out = _residuals_jacobian_soa(
+            Tcw, X, uv, fx, fy, cx, cy,
+            ur=ur if stereo else None, bf=bf,
+        )
+        if stereo:
+            ru, rv, Ju, Jv, z, rur, Jur = out
+            rur = jnp.where(is_st, rur, 0.0)
+        else:
+            ru, rv, Ju, Jv, z = out
+            rur, Jur = None, None
+        return ru, rv, Ju, Jv, z, rur, Jur
 
     def chi2_of(Tcw):
-        ru, rv, _, _, z = _residuals_jacobian_soa(Tcw, X, uv, fx, fy, cx, cy)
-        return (ru * ru + rv * rv) * inv_sigma2, z
+        ru, rv, _, _, z, rur, _ = resid(Tcw)
+        c = ru * ru + rv * rv
+        if stereo:
+            c = c + rur * rur
+        return c * inv_sigma2, z
 
     def robust_cost(chi2, z, mask, robust):
         rho = jnp.where(
@@ -138,10 +179,10 @@ def optimize_pose(
 
         def lm_step(_, state):
             Tcw, lam = state
-            ru, rv, Ju, Jv, z = _residuals_jacobian_soa(
-                Tcw, X, uv, fx, fy, cx, cy
-            )
+            ru, rv, Ju, Jv, z, rur, Jur = resid(Tcw)
             chi2 = (ru * ru + rv * rv) * inv_sigma2
+            if stereo:
+                chi2 = chi2 + rur * rur * inv_sigma2
             # IRLS weight for the Huber kernel on chi2 = ||r||^2_Sigma
             wr = jnp.where(
                 chi2 <= delta2,
@@ -150,11 +191,15 @@ def optimize_pose(
             )
             w = inv_sigma2 * jnp.where(robust, wr, 1.0)
             w = jnp.where(inliers & (z > 0), w, 0.0)
-            # H = Ju W Ju^T + Jv W Jv^T: two (6, N) @ (N, 6) contractions
+            # H = Ju W Ju^T + Jv W Jv^T (+ stereo row): (6, N) @ (N, 6)
             Juw = Ju * w
             Jvw = Jv * w
             H = Juw @ Ju.T + Jvw @ Jv.T
             b = -(Juw @ ru + Jvw @ rv)
+            if stereo:
+                Jurw = Jur * (w * is_st)
+                H = H + Jurw @ Jur.T
+                b = b - Jurw @ rur
             cost0 = robust_cost(chi2, z, inliers, robust)
 
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
@@ -174,7 +219,7 @@ def optimize_pose(
         # chi2 reclassification (both directions, like the reference's
         # setLevel dance at Optimizer.cc:390-420)
         chi2, z = chi2_of(Tcw)
-        inliers = valid & (chi2 <= chi2_th) & (z > 0)
+        inliers = valid & (chi2 <= th) & (z > 0)
         return (Tcw, inliers), None
 
     Tcw, cur_inliers = Tcw0, valid

@@ -46,7 +46,8 @@ def make_ba_mesh(devices=None, axis: str = "ba") -> Mesh:
 
 def shard_problem(prob: BAProblem, mesh: Mesh, axis: str = "ba") -> BAProblem:
     """Place the problem: point-major arrays sharded over the mesh axis,
-    camera arrays + K replicated."""
+    camera arrays + K replicated. Stereo planes (obs_ur/obs_has_ur) shard
+    with the observations; bf replicates."""
     pt = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
 
@@ -64,14 +65,26 @@ def shard_problem(prob: BAProblem, mesh: Mesh, axis: str = "ba") -> BAProblem:
         obs_inv_sigma2=put(prob.obs_inv_sigma2, pt),
         obs_valid=put(prob.obs_valid, pt),
         K=put(prob.K, rep),
+        obs_ur=put(prob.obs_ur, pt) if prob.obs_ur is not None else None,
+        obs_has_ur=(
+            put(prob.obs_has_ur, pt) if prob.obs_has_ur is not None else None
+        ),
+        bf=put(prob.bf, rep) if prob.bf is not None else None,
     )
 
 
-def _local_cost(cam_pose, points, K, obs_cam, obs_uv, inv_sigma2, active, robust):
+def _local_cost(cam_pose, points, K, obs_cam, obs_uv, inv_sigma2, active,
+                robust, obs_ur=None, obs_has_ur=None, bf=None, huber2=None):
     C = cam_pose.shape[0]
-    r2, z = _chi2_planes(cam_pose, points, K, obs_cam, obs_uv, C)
+    r2, z = _chi2_planes(
+        cam_pose, points, K, obs_cam, obs_uv, C, obs_ur, obs_has_ur, bf
+    )
     chi2 = r2 * inv_sigma2
-    cost = _robust_cost(chi2, robust)
+    cost = (
+        _robust_cost(chi2, robust)
+        if huber2 is None
+        else _robust_cost(chi2, robust, huber2)
+    )
     ok = active & (z > 0)
     return jnp.sum(jnp.where(ok, cost, 0.0)), chi2, z
 
@@ -86,8 +99,12 @@ def solve_ba_sharded(
     axis: str = "ba",
 ) -> BAResult:
     """Distributed two-phase LM BA. Semantically identical to
-    optim.local_ba.solve_ba; the P (points) axis is sharded over `mesh`."""
+    optim.local_ba.solve_ba; the P (points) axis is sharded over `mesh`.
+    Stereo problems (obs_ur/obs_has_ur/bf set) keep their 3-dof rows —
+    the planes shard with the observations."""
     C = prob.cam_pose.shape[0]
+    stereo = prob.obs_ur is not None
+    st_specs = (P(axis), P(axis), P()) if stereo else ()
 
     @partial(
         jax.shard_map,
@@ -97,12 +114,17 @@ def solve_ba_sharded(
             P(axis), P(axis),              # points, point_valid
             P(axis), P(axis), P(axis), P(axis),  # obs_*
             P(),                           # K
-        ),
+        ) + st_specs,
         out_specs=(P(), P(axis), P(axis), P()),
         check_vma=False,
     )
     def run(cam_pose, cam_fixed, cam_valid, points, point_valid,
-            obs_cam, obs_uv, obs_inv_sigma2, obs_valid, K):
+            obs_cam, obs_uv, obs_inv_sigma2, obs_valid, K, *st):
+        obs_ur, obs_has_ur, bf = st if stereo else (None, None, None)
+        # per-observation Huber delta^2 / chi2 gate: 7.815 stereo, 5.991 mono
+        th_obs = (
+            jnp.where(obs_has_ur, 7.815, CHI2_MONO) if stereo else None
+        )
         base_obs = (
             obs_valid
             & (obs_cam >= 0)
@@ -117,12 +139,16 @@ def solve_ba_sharded(
                 cam_pose, points, lam = state
                 c0, chi2, _ = _local_cost(
                     cam_pose, points, K, obs_cam, obs_uv, obs_inv_sigma2,
-                    active_obs, robust,
+                    active_obs, robust, obs_ur, obs_has_ur, bf, th_obs,
                 )
-                w = obs_inv_sigma2 * _robust_weight(chi2, robust)
+                w = obs_inv_sigma2 * (
+                    _robust_weight(chi2, robust, th_obs)
+                    if stereo else _robust_weight(chi2, robust)
+                )
                 w = jnp.where(active_obs, w, 0.0)
                 Hcc, bc, Hpp, bp, U = build_normal_equations(
-                    cam_pose, points, K, obs_cam, obs_uv, w, C
+                    cam_pose, points, K, obs_cam, obs_uv, w, C,
+                    obs_ur, obs_has_ur, bf,
                 )
                 # ---- distributed Schur: local point marginalization; the
                 # reduced camera system is psum'd over the mesh (ICI) inside
@@ -136,7 +162,7 @@ def solve_ba_sharded(
                 new_pts = points + dp
                 c1_l, _, _ = _local_cost(
                     new_pose, new_pts, K, obs_cam, obs_uv, obs_inv_sigma2,
-                    active_obs, robust,
+                    active_obs, robust, obs_ur, obs_has_ur, bf, th_obs,
                 )
                 c0 = jax.lax.psum(c0, axis)
                 c1 = jax.lax.psum(c1_l, axis)
@@ -162,25 +188,27 @@ def solve_ba_sharded(
         )
         _, chi2, z = _local_cost(
             cam_pose, points, K, obs_cam, obs_uv, obs_inv_sigma2, base_obs,
-            jnp.asarray(True),
+            jnp.asarray(True), obs_ur, obs_has_ur, bf, th_obs,
         )
-        inlier = base_obs & (chi2 <= chi2_th) & (z > 0)
+        th = th_obs if stereo else chi2_th
+        inlier = base_obs & (chi2 <= th) & (z > 0)
         cam_pose, points = lm_phase(
             cam_pose, points, inlier, jnp.asarray(False), iters2, lambda_init
         )
         cam_pose = jax.vmap(se3.orthonormalize)(cam_pose)
         fc_l, chi2, z = _local_cost(
             cam_pose, points, K, obs_cam, obs_uv, obs_inv_sigma2, inlier,
-            jnp.asarray(False),
+            jnp.asarray(False), obs_ur, obs_has_ur, bf, th_obs,
         )
-        obs_inlier = base_obs & (chi2 <= chi2_th) & (z > 0)
+        obs_inlier = base_obs & (chi2 <= th) & (z > 0)
         final_cost = jax.lax.psum(fc_l, axis)
         return cam_pose, points, obs_inlier, final_cost
 
+    st_vals = (prob.obs_ur, prob.obs_has_ur, prob.bf) if stereo else ()
     cam_pose, points, obs_inlier, final_cost = run(
         prob.cam_pose, prob.cam_fixed, prob.cam_valid, prob.points,
         prob.point_valid, prob.obs_cam, prob.obs_uv, prob.obs_inv_sigma2,
-        prob.obs_valid, prob.K,
+        prob.obs_valid, prob.K, *st_vals,
     )
     return BAResult(
         cam_pose=cam_pose, points=points, obs_inlier=obs_inlier,

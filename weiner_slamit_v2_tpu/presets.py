@@ -70,13 +70,17 @@ _CAMERAS: dict[str, dict] = {
     ),
 }
 
-# aliases: dataset-kind defaults and KITTI sequence ranges
+# aliases: dataset-kind defaults and KITTI sequence ranges. Only ranges with
+# a shared published calibration are aliased (00-02 and 04-12, the ranges
+# ORB-SLAM2 ships KITTI00-02/KITTI04-12.yaml for). Test sequences 13-21 come
+# from multiple recording dates with differing intrinsics — the CLI reads
+# the sequence's own calib.txt for those (io/datasets.load_kitti_calib)
+# instead of silently applying a wrong preset.
 _ALIASES = {
     "tum": "tum_fr1",
     "kitti": "kitti_00",
     **{f"kitti_{i:02d}": "kitti_00" for i in (1, 2)},
-    # sequences 04-12 and 13-21 share the kitti_04 camera
-    **{f"kitti_{i:02d}": "kitti_04" for i in range(5, 22)},
+    **{f"kitti_{i:02d}": "kitti_04" for i in range(5, 13)},
 }
 
 

@@ -53,9 +53,68 @@ class LoopCloser:
         self.consistency_counts: dict[int, int] = {}
         self.n_loops_closed = 0
         self.run_global_ba = True
+        # stereo/RGB-D maps are metric: Sim3 scale is frozen everywhere
+        # (bFixScale — src/LoopClosing.cc:73, src/Sim3Solver.cc:37-112)
+        self.fix_scale = cfg.sensor != "monocular"
+        # in-flight asynchronous global BA (the mbRunningGBA/mbStopGBA
+        # protocol of src/LoopClosing.cc:60-63 as a device future + token)
+        self._pending_gba: dict | None = None
         # accumulated loop edges (i, j, S_ji) for future essential graphs
         # (the reference keeps them in KeyFrame::mspLoopEdges)
         self.loop_edges: list[tuple[int, int, jnp.ndarray]] = []
+
+    # ------------------------------------------------------------------
+    def _enqueue_global_ba(self, gauge_kf: int):
+        """Launch the full-map BA as an async device computation."""
+        from ..optim.ba_extract import extract_global_ba
+        from ..optim.local_ba import solve_ba
+
+        t = self.tracker
+        prob, cam_ids, point_ids = extract_global_ba(
+            t.m, t.K, t.inv_sigma2, gauge_kf=gauge_kf,
+            bf=self.cfg.camera.baseline_times_fx,
+        )
+        res = solve_ba(prob, 5, self.cfg.optim.global_ba_iters - 5)
+        self._pending_gba = dict(
+            res=res, cam_ids=cam_ids, point_ids=point_ids,
+            pose_snap=t.m.kf_pose, n_kf_snap=t.n_kf_host,
+        )
+
+    def discard_pending_gba(self):
+        self._pending_gba = None
+
+    def poll_global_ba(self, force: bool = False) -> bool:
+        """Adopt a finished global BA; True if one was adopted. Keyframes
+        created while the BA ran are corrected through the spanning tree,
+        points created meanwhile through their first observer — exactly the
+        reference's post-GBA propagation (src/LoopClosing.cc:689-748).
+        A reset since enqueue supersedes the result (it is dropped)."""
+        g = self._pending_gba
+        if g is None:
+            return False
+        if not (force or g["res"].cam_pose.is_ready()):
+            return False
+        self._pending_gba = None
+        t = self.tracker
+        if t.n_kf_host < g["n_kf_snap"] or t.n_kf_host == 0:
+            return False  # superseded by a session reset
+        t.flush_pending()
+        from ..slam_map.point_stats import refresh_point_stats
+
+        old_ref_pose = t.m.kf_pose[t.ref_kf]
+        t.m = _adopt_gba(
+            t.m, g["res"].cam_pose, g["cam_ids"], g["res"].points,
+            g["point_ids"], jnp.asarray(g["n_kf_snap"], jnp.int32),
+        )
+        t.m = refresh_point_stats(t.m, t.scale_factors)
+        # re-anchor the tracking chain: the last pose moves with its
+        # reference keyframe's correction
+        if t.last_Tcw is not None:
+            t.last_Tcw = (
+                t.last_Tcw @ se3.inv(old_ref_pose) @ t.m.kf_pose[t.ref_kf]
+            )
+        t.velocity = None
+        return True
 
     # ------------------------------------------------------------------
     def on_keyframe(self, kf_id: int) -> bool:
@@ -161,6 +220,7 @@ class LoopCloser:
         S12, inl, n_inl = _sim3_from_matches(
             m, kf_id, cand, idx, t.K, t.inv_sigma2,
             jax.random.PRNGKey(cfg.seed + 97 * kf_id), cfg.orb.n_levels,
+            self.fix_scale,
         )
         if int(n_inl) < cfg.loop.min_sim3_inliers:
             return False
@@ -175,7 +235,7 @@ class LoopCloser:
         # --- 4. Sim3 GN refinement (OptimizeSim3, >= 20 inliers) -----------
         S12, inl, n_inl = _refine_sim3_on_matches(
             m, kf_id, cand, idx, t.K, t.inv_sigma2, S12,
-            cfg.loop.sim3_chi2, cfg.orb.n_levels,
+            cfg.loop.sim3_chi2, cfg.orb.n_levels, self.fix_scale,
         )
         if int(n_inl) < cfg.loop.min_sim3_inliers:
             return False
@@ -269,6 +329,7 @@ class LoopCloser:
             S_corr, m.kf_valid, fixed, edge_i, edge_j, edge_S, edge_valid,
             n_iters=cfg.optim.essential_graph_iters,
             lambda_init=cfg.optim.essential_lambda_init,
+            fix_scale=self.fix_scale,
         )
 
         # --- write back: SE3 poses + corrected points ----------------------
@@ -287,20 +348,13 @@ class LoopCloser:
         t.last_Tcw = t.m.kf_pose[kf_id]
         t.velocity = None
 
-        # --- optional synchronous global BA (the reference's GBA thread) --
+        # --- concurrent global BA (RunGlobalBundleAdjustment thread,
+        # src/LoopClosing.cc:658-758): enqueued as an async device program;
+        # tracking keeps running and the result is adopted — with spanning-
+        # tree propagation to keyframes/points created meanwhile — once the
+        # device finishes (poll_global_ba, driven by System._pre_frame)
         if self.run_global_ba:
-            from ..optim.ba_extract import extract_global_ba, write_back_ba
-            from ..optim.local_ba import solve_ba
-            from ..slam_map.point_stats import refresh_point_stats
-
-            prob, cam_ids, point_ids = extract_global_ba(
-                t.m, t.K, t.inv_sigma2, gauge_kf=cand,
-                bf=cfg.camera.baseline_times_fx,
-            )
-            res = solve_ba(prob, 5, cfg.optim.global_ba_iters - 5)
-            t.m = write_back_ba(t.m, res, prob, cam_ids, point_ids)
-            t.m = refresh_point_stats(t.m, t.scale_factors)
-            t.last_Tcw = t.m.kf_pose[kf_id]
+            self._enqueue_global_ba(gauge_kf=cand)
 
 
 # ---------------------------------------------------------------------------
@@ -308,8 +362,54 @@ class LoopCloser:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("n_levels",))
-def _sim3_from_matches(m, kf_id, cand, idx, K, inv_sigma2, key, n_levels):
+@jax.jit
+def _adopt_gba(m, ba_pose, cam_ids, ba_pts, point_ids, n_kf_snap):
+    """Write a finished global BA into the CURRENT map with propagation to
+    entities created while it ran (src/LoopClosing.cc:689-748):
+
+    * keyframes in the BA take their optimized poses;
+    * keyframes allocated after the snapshot chain through the spanning
+      tree: T_child_new = (T_child_old · T_parent_old^-1) · T_parent_new
+      (parents always have smaller slot ids, so one forward pass settles
+      arbitrary chains);
+    * points in the BA take their optimized positions; points created
+      meanwhile move with their first observer's correction.
+    """
+    old_pose = m.kf_pose
+    cam_w = jnp.where(cam_ids >= 0, cam_ids, m.max_kf)
+    kf_pose = old_pose.at[cam_w].set(ba_pose, mode="drop")
+
+    def chain(k, pose):
+        parent = m.kf_parent[k]
+        p = jnp.maximum(parent, 0)
+        T_new = old_pose[k] @ se3.inv(old_pose[p]) @ pose[p]
+        use = (k >= n_kf_snap) & (parent >= 0) & m.kf_valid[k]
+        return pose.at[k].set(jnp.where(use, T_new, pose[k]))
+
+    kf_pose = jax.lax.fori_loop(0, m.max_kf, chain, kf_pose)
+
+    in_ba = jnp.zeros(m.max_mp, bool).at[
+        jnp.where(point_ids >= 0, point_ids, m.max_mp)
+    ].set(True, mode="drop")
+    pt_w = jnp.where(point_ids >= 0, point_ids, m.max_mp)
+    mp_pos = m.mp_pos.at[pt_w].set(ba_pts, mode="drop")
+    # correction of the remaining points via their first observer
+    ref = jnp.where(
+        m.mp_obs_kf[:, 0] >= 0, m.mp_obs_kf[:, 0],
+        jnp.maximum(m.mp_first_kf, 0),
+    )
+    ref = jnp.clip(ref, 0, m.max_kf - 1)
+    corr_R = jax.vmap(lambda r: se3.inv(kf_pose[r]) @ old_pose[r])(ref)
+    Xc = jax.vmap(se3.apply)(corr_R, m.mp_pos[:, None, :])[:, 0]
+    need = m.mp_valid & ~in_ba
+    mp_pos = jnp.where(need[:, None], Xc, mp_pos)
+    return m.replace(kf_pose=kf_pose, mp_pos=mp_pos)
+
+
+@partial(jax.jit, static_argnames=("n_levels", "fix_scale"))
+def _sim3_from_matches(
+    m, kf_id, cand, idx, K, inv_sigma2, key, n_levels, fix_scale=False
+):
     """Gather matched 3D pairs in each camera frame and run the RANSAC Horn
     Sim3 solver (Sim3Solver, src/Sim3Solver.cc)."""
     ok = idx >= 0
@@ -328,11 +428,15 @@ def _sim3_from_matches(m, kf_id, cand, idx, K, inv_sigma2, key, n_levels):
         & m.mp_valid[mp1]
         & m.mp_valid[mp2]
     )
-    return ransac_sim3(X1, X2, valid, uv1, uv2, s2_1, s2_2, K, key)
+    return ransac_sim3(
+        X1, X2, valid, uv1, uv2, s2_1, s2_2, K, key, fix_scale=fix_scale
+    )
 
 
-@partial(jax.jit, static_argnames=("n_levels",))
-def _refine_sim3_on_matches(m, kf_id, cand, idx, K, inv_sigma2, S12, chi2, n_levels):
+@partial(jax.jit, static_argnames=("n_levels", "fix_scale"))
+def _refine_sim3_on_matches(
+    m, kf_id, cand, idx, K, inv_sigma2, S12, chi2, n_levels, fix_scale=False
+):
     ok = idx >= 0
     mp1 = jnp.maximum(m.kf_obs[kf_id], 0)
     mp2 = jnp.maximum(m.kf_obs[cand][jnp.maximum(idx, 0)], 0)
@@ -350,7 +454,8 @@ def _refine_sim3_on_matches(m, kf_id, cand, idx, K, inv_sigma2, S12, chi2, n_lev
         & m.mp_valid[mp2]
     )
     return refine_sim3(
-        S12, X1, X2, valid, uv1, uv2, s2_1, s2_2, K, chi2_th=chi2
+        S12, X1, X2, valid, uv1, uv2, s2_1, s2_2, K, chi2_th=chi2,
+        fix_scale=fix_scale,
     )
 
 
@@ -562,15 +667,25 @@ def _propagate_and_fuse(
     return m, S_old, S_corr
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _search_and_fuse(m, group_mask, loop_mask, K, scale_factors, sigma2, cfg):
+@partial(jax.jit, static_argnames=("cfg", "max_targets"))
+def _search_and_fuse(
+    m, group_mask, loop_mask, K, scale_factors, sigma2, cfg, max_targets=24
+):
     """LoopClosing::SearchAndFuse (LoopClosing.cc:600-626): project the loop
-    points into every corrected group keyframe with th=4; the loop point
-    wins every merge."""
+    points into the corrected group keyframes with th=4; the loop point
+    wins every merge. The scan covers only the group (the reference passes
+    mvpCurrentConnectedKFs, typically <20 keyframes), most-recent first —
+    not all keyframe slots."""
     inv_s2 = 1.0 / sigma2
 
-    def step(m, k):
-        ok = group_mask[k] & m.kf_valid[k]
+    # top-k group members by recency (kf_frame_id >= 0 for allocated slots)
+    sel = jnp.where(group_mask & m.kf_valid, m.kf_frame_id + 1, -1)
+    vals, targets = jax.lax.top_k(sel, min(max_targets, m.max_kf))
+    t_ok = vals > 0
+    targets = jnp.maximum(targets, 0)
+
+    def step(m, tv):
+        k, ok = tv
         m2 = _fuse_points_into_kf(
             m, loop_mask & m.mp_valid, k, K, scale_factors, inv_s2, cfg,
             max_points=cfg.capacity.local_ba_points,
@@ -579,5 +694,5 @@ def _search_and_fuse(m, group_mask, loop_mask, K, scale_factors, sigma2, cfg):
         m = jax.tree.map(lambda a, b: jnp.where(ok, a, b), m2, m)
         return m, None
 
-    m, _ = jax.lax.scan(step, m, jnp.arange(m.max_kf))
+    m, _ = jax.lax.scan(step, m, (targets, t_ok))
     return mt.rebuild_observation_lists(m)

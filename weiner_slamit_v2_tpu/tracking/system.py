@@ -114,6 +114,8 @@ class System:
         self._pending_map = None
         self._pending_kf = -1
         self._pending_counters = None
+        if self.loop_closer is not None:
+            self.loop_closer.discard_pending_gba()
 
     def _on_new_keyframe(self, kf_id: int):
         if self.localization_only:
@@ -192,10 +194,12 @@ class System:
     def finish(self):
         """Drain the pipeline (System::Shutdown analogue,
         src/System.cc:382-399): resolve any pipelined tracked frames and
-        block until any in-flight mapping pass is adopted. Call before map
-        export/eval."""
+        block until any in-flight mapping pass AND any concurrent global BA
+        are adopted. Call before map export/eval."""
         self.tracker.flush_pending()
         self.mapper_idle(force=True)
+        if self.loop_closer is not None:
+            self.loop_closer.poll_global_ba(force=True)
 
     # ------------------------------------------------------------------
     def compact(self):
@@ -253,6 +257,11 @@ class System:
     # ------------------------------------------------------------------
     def _pre_frame(self):
         self.mapper_idle()  # adopt a finished mapping pass, never blocks
+        # adopt a finished concurrent global BA — only while no mapping pass
+        # is in flight (the pass's snapshot predates the BA adoption and
+        # would overwrite its corrections)
+        if self.loop_closer is not None and self._pending_map is None:
+            self.loop_closer.poll_global_ba()
         # keyframe pool nearly exhausted -> compact (ids are never reused,
         # so long sequences outgrow the static pool even after culling).
         # Only worth the pipeline drain + full-map permutation when culling
@@ -309,6 +318,25 @@ class System:
         self.tracker.reset()
         self.tracker.trajectory.clear()
         self.tracker.frame_id = -1
+
+    # ------------------------------------------------------------------
+    def save_map(self, path: str):
+        """Checkpoint the full map state (the reference's unimplemented
+        SaveMap TODO — include/System.h:119-121)."""
+        from ..slam_map.checkpoint import save_map
+
+        save_map(path, self.map)
+
+    def load_map(self, path: str):
+        """Load a checkpointed map and restore a live session around it
+        (host mirrors, BoW database, reference keyframe). The session enters
+        LOST and relocalizes on the next tracked frame; combine with
+        activate_localization_mode() for pure localization against the map."""
+        from ..slam_map.checkpoint import load_map
+
+        self.finish()
+        m, _extra = load_map(path)
+        self.tracker.load_map(m)
 
     # ------------------------------------------------------------------
     @property

@@ -66,8 +66,12 @@ class TrackParams:
         t, mc, o = cfg.tracking, cfg.matcher, cfg.optim
         f32 = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
         i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+        # stereo/RGB-D motion search window th=7 vs mono 15 (Tracking.cc:1108)
+        motion_win = (
+            7.0 if cfg.sensor != "monocular" else t.motion_search_window
+        )
         return TrackParams(
-            motion_window=f32(t.motion_search_window),
+            motion_window=f32(motion_win),
             min_matches_motion=i32(t.min_matches_motion),
             min_matches_refkf=i32(t.min_matches_refkf),
             min_inliers_motion=i32(t.min_inliers_motion),
@@ -95,6 +99,8 @@ def _track_last_frame(
     nn_ratio: jnp.ndarray,
     th_high: jnp.ndarray,
     histo_bins: int = matcher.HISTO_LENGTH,
+    forward: jnp.ndarray | bool = False,
+    backward: jnp.ndarray | bool = False,
 ):
     """SearchByProjection last->current (ORBmatcher.cc:1332-1474): project
     the last frame's tracked map points with the predicted pose and match
@@ -119,6 +125,19 @@ def _track_last_frame(
     # window scaled by the last octave's scale factor (ORBmatcher.cc:1352)
     sf = scale_factors[jnp.clip(last_octave, 0, n_levels - 1)]
     win = window * sf
+    # stereo forward/backward single-sided octave gating by tz vs baseline
+    # (ORBmatcher.cc:1352-1394): moving forward the feature appears at a
+    # finer-or-equal level, backward coarser-or-equal; mono keeps [l-1, l+1]
+    lo = jnp.where(
+        forward, last_octave,
+        jnp.where(backward, 0, jnp.clip(last_octave - 1, 0, n_levels - 1)),
+    )
+    hi = jnp.where(
+        forward, n_levels - 1,
+        jnp.where(
+            backward, last_octave, jnp.clip(last_octave + 1, 0, n_levels - 1)
+        ),
+    )
     idx, dist = matcher.match_with_window(
         jnp.where(has[:, None], m.mp_desc[mp], 0),
         feats.desc,
@@ -130,8 +149,8 @@ def _track_last_frame(
         max_dist=th_high,
         nn_ratio=nn_ratio,
         octave2=feats.octave,
-        octave_lo=jnp.clip(last_octave - 1, 0, n_levels - 1),
-        octave_hi=jnp.clip(last_octave + 1, 0, n_levels - 1),
+        octave_lo=lo,
+        octave_hi=hi,
         angle1=last_angle,
         angle2=feats.angle,
         histo_bins=histo_bins,
@@ -288,9 +307,12 @@ def _pose_opt_on_obs(
     n_rounds: int = 4,
     n_iters: int = 10,
     lm_lambda: jnp.ndarray | float = 1e-3,
+    ur: jnp.ndarray | None = None,
+    bf: jnp.ndarray | float = 0.0,
 ):
     """Motion-only optimization over the frame's current map-point matches
-    (Optimizer::PoseOptimization, src/Optimizer.cc:239-451)."""
+    (Optimizer::PoseOptimization, src/Optimizer.cc:239-451). ur/bf add the
+    frame's stereo right-u rows (EdgeStereoSE3ProjectXYZOnlyPose)."""
     has = (cur_obs >= 0) & m.mp_valid[jnp.maximum(cur_obs, 0)] & feats.valid
     mp = jnp.maximum(cur_obs, 0)
     X = m.mp_pos[mp]
@@ -298,6 +320,7 @@ def _pose_opt_on_obs(
     Tcw, inl, n_inl = optimize_pose(
         Tcw0, X, feats.xy_und, w, has, K,
         n_rounds=n_rounds, n_iters=n_iters, lambda_init=lm_lambda,
+        ur=ur, bf=bf,
     )
     cur_obs = jnp.where(inl | ~has, cur_obs, -1)
     return Tcw, cur_obs, n_inl
@@ -325,14 +348,21 @@ S_N_KF = 6
 N_SCALARS = 7
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "n_levels", "max_local_points", "local_kf_cap",
-        "pose_rounds", "pose_iters", "histo_bins",
-    ),
-)
-def _track_step(
+def _pack_bits(mask: jnp.ndarray) -> jnp.ndarray:
+    """Pack a (M,) bool mask into (M/32,) uint32 (M must be a multiple of
+    32 — map capacities are). Tiny per-frame artifact letting the host roll
+    back counter increments of frames later shown to be garbage."""
+    b = mask.reshape(-1, 32).astype(jnp.uint32)
+    w = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    return jnp.sum(b * w, axis=1, dtype=jnp.uint32)
+
+
+def _unpack_bits(packed: jnp.ndarray, m_size: int) -> jnp.ndarray:
+    w = (packed[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & 1
+    return w.reshape(m_size).astype(bool)
+
+
+def _track_step_impl(
     m: SlamMap,
     feats: FrameFeatures,
     last_obs: jnp.ndarray,
@@ -352,18 +382,32 @@ def _track_step(
     pose_rounds: int,
     pose_iters: int,
     histo_bins: int,
+    ur: jnp.ndarray | None = None,
+    bf: jnp.ndarray | float = 0.0,
 ):
     """One fused tracking step (Tracking::Track, src/Tracking.cc:385-694,
     OK-state branch). Returns (map-with-updated-counters, Tcw, cur_obs,
     new velocity, packed scalars) — the scalars are the only thing the host
-    needs to read back."""
+    needs to read back. ur (N,): the frame's stereo right-u per feature
+    (-1 = mono), adding the 3-dof stereo rows to both pose optimizations."""
     Tcw_pred = jnp.where(has_velocity, velocity @ last_Tcw, last_Tcw)
+
+    # stereo forward/backward motion classification (ORBmatcher.cc:1352-1360):
+    # tz of the last->current relative motion vs the stereo baseline
+    if ur is not None:
+        T_cl = Tcw_pred @ se3.inv(last_Tcw)
+        tz = T_cl[2, 3]
+        base = bf / K[0, 0]
+        fwd = has_velocity & (tz > base)
+        bwd = has_velocity & (-tz > base)
+    else:
+        fwd = bwd = False
 
     def motion(window):
         return _track_last_frame(
             m, feats, last_obs, last_octave, last_angle, Tcw_pred, K,
             window, scale_factors, n_levels, p.nn_ratio_motion, p.th_high,
-            histo_bins,
+            histo_bins, forward=fwd, backward=bwd,
         )
 
     obs_a, n_a = motion(p.motion_window)
@@ -390,7 +434,7 @@ def _track_step(
 
     Tcw1, obs_d, n_i1 = _pose_opt_on_obs(
         m, feats, obs_c, Tcw0, K, inv_sigma2, pose_rounds, pose_iters,
-        p.lm_lambda,
+        p.lm_lambda, ur=ur, bf=bf,
     )
     ok1 = enough & (n_i1 >= p.min_inliers_motion)
 
@@ -402,7 +446,7 @@ def _track_step(
     )
     Tcw2, obs_f, n_i2 = _pose_opt_on_obs(
         m, feats, obs_e, Tcw1, K, inv_sigma2, pose_rounds, pose_iters,
-        p.lm_lambda,
+        p.lm_lambda, ur=ur, bf=bf,
     )
 
     m_cnt = _update_point_counters(m, visible, obs_f)
@@ -412,6 +456,14 @@ def _track_step(
         mp_visible=jnp.where(ok1, m_cnt.mp_visible, m.mp_visible),
         mp_found=jnp.where(ok1, m_cnt.mp_found, m.mp_found),
     )
+    # packed per-frame counter increments: lets the pipelined resolver
+    # reconstruct the counter planes as of any frame in a batch (rolling
+    # back increments chained by garbage frames after a mid-batch loss)
+    found_mask = jnp.zeros(m.max_mp, bool).at[
+        jnp.where(obs_f >= 0, jnp.maximum(obs_f, 0), m.max_mp)
+    ].set(True, mode="drop")
+    inc_vis = _pack_bits((visible | found_mask) & ok1)
+    inc_found = _pack_bits(found_mask & ok1)
 
     # NeedNewKeyFrame statistics (Tracking.cc:1210-1310): tracked points of
     # the reference KF with >= minObs observations
@@ -438,7 +490,38 @@ def _track_step(
             n_kf_valid,
         ]
     )
-    return m2, Tcw2, obs_f, vel_new, T_cr, scalars
+    return m2, Tcw2, obs_f, vel_new, T_cr, scalars, (inc_vis, inc_found)
+
+
+_track_step = partial(
+    jax.jit,
+    static_argnames=(
+        "n_levels", "max_local_points", "local_kf_cap",
+        "pose_rounds", "pose_iters", "histo_bins",
+    ),
+)(_track_step_impl)
+
+
+@jax.jit
+def _counters_at(
+    snap_visible: jnp.ndarray,
+    snap_found: jnp.ndarray,
+    inc_vis: jnp.ndarray,      # (B, M/32) u32 packed per-frame increments
+    inc_found: jnp.ndarray,    # (B, M/32)
+    upto: jnp.ndarray,         # () i32: apply frames [0, upto)
+):
+    """Counter planes as of frame `upto` of a pipelined batch: the batch
+    snapshot plus the increments of the frames before the loss. The
+    reference never updates statistics from lost frames
+    (Tracking.cc:1409-1447); this rolls back the ones garbage frames
+    chained in before the loss was detected."""
+    M = snap_visible.shape[0]
+    keep = (jnp.arange(inc_vis.shape[0]) < upto)[:, None]
+    vis = jax.vmap(lambda p: _unpack_bits(p, M))(inc_vis)
+    fnd = jax.vmap(lambda p: _unpack_bits(p, M))(inc_found)
+    dv = jnp.sum(jnp.where(keep, vis, False), axis=0)
+    df = jnp.sum(jnp.where(keep, fnd, False), axis=0)
+    return snap_visible + dv.astype(jnp.int32), snap_found + df.astype(jnp.int32)
 
 
 @jax.jit
@@ -692,10 +775,18 @@ class Tracker:
         self.last_reloc_frame = -(10**9)
         self.init_feats: Optional[FrameFeatures] = None
         self._cur_depth: Optional[jnp.ndarray] = None
+        self._cur_ur: Optional[jnp.ndarray] = None
         # frames tracked but not yet resolved (frames_per_sync > 1): each
         # entry keeps the device arrays needed to make the LOST/keyframe
         # decisions once the batched scalar fetch lands
         self._pending_frames: list[dict] = []
+        # raw frames buffered for the fused extract+track device scan
+        # (mono steady state): ONE device program + ONE sync per batch
+        self._img_buffer: list[dict] = []
+        # (mp_visible, mp_found) snapshot at the head of the pending batch,
+        # for counter rollback when a mid-batch loss is detected
+        self._batch_counters = None
+        self._scan_fn = None  # built lazily (compiles on first full batch)
         # per-frame trajectory log: (timestamp, T_cr = Tcw · Tref^-1, ref_kf)
         # — relative to the reference keyframe, like the reference's
         # (mlRelativeFramePoses, mlpReferences) lists (src/Tracking.cc:666-694)
@@ -747,10 +838,44 @@ class Tracker:
         """Track one frame. `depth` (H, W) meters enables the RGB-D path;
         `image_right` enables the stereo path (rectified pair)."""
         self.frame_id += 1
-        initializing = self.state in (NO_IMAGES_YET, NOT_INITIALIZED)
         mono = depth is None and image_right is None
-        extract = self._extract_init if (initializing and mono) else self._extract_track
         img_dev = jnp.asarray(image, jnp.float32)
+
+        # steady-state mono fast path: buffer the raw frame and track a whole
+        # batch inside ONE device program (extraction fused into the tracking
+        # scan — kills the per-frame launch + sync overhead that otherwise
+        # floors the frame rate on this platform, PLATFORM.md §1)
+        cfgt = self.cfg.tracking
+        just_reloc = self.frame_id < self.last_reloc_frame + 2
+        if (
+            self.state == OK and mono and cfgt.frames_per_sync > 1
+            and self.n_kf_host >= cfgt.pipeline_warmup_kfs
+            and not just_reloc and not self._pending_frames
+        ):
+            if self._posenet_fn is not None:
+                self.last_person = self._posenet_fn(self._posenet_params, img_dev)
+            self._cur_depth = None
+            self._cur_ur = None
+            recent_reloc = (
+                self.frame_id
+                < self.last_reloc_frame + cfgt.max_frames_between_kf
+            )
+            self._img_buffer.append(dict(
+                img=img_dev, ts=timestamp, frame_id=self.frame_id,
+                recent_reloc=recent_reloc,
+            ))
+            if len(self._img_buffer) >= cfgt.frames_per_sync:
+                self._run_scan_batch()
+            if self.state != OK:
+                return TrackerOutput(self.state, None, -1, False, deferred=True)
+            return TrackerOutput(OK, self.last_Tcw, -1, False, deferred=True)
+
+        # a frame leaving the fast path (loss, depth frame, reloc) drains any
+        # buffered-but-untracked frames first so ordering is preserved
+        if self._img_buffer:
+            self._drain_img_buffer()
+        initializing = self.state in (NO_IMAGES_YET, NOT_INITIALIZED)
+        extract = self._extract_init if (initializing and mono) else self._extract_track
         feats = extract(img_dev)
         if self._posenet_fn is not None:
             # async dispatch; results are device futures (no per-frame sync)
@@ -780,6 +905,16 @@ class Tracker:
                 self.scale_factors, n_levels=self.cfg.orb.n_levels,
             )
         self._cur_depth = feat_depth
+        # current frame's stereo right-u (mvuRight) for the 3-dof pose rows
+        if feat_depth is not None:
+            bf_v = self.cfg.camera.baseline_times_fx
+            self._cur_ur = jnp.where(
+                (feat_depth > 0) & (bf_v > 0),
+                feats.xy_und[:, 0] - bf_v / jnp.maximum(feat_depth, 1e-6),
+                -1.0,
+            )
+        else:
+            self._cur_ur = None
 
         if initializing:
             if feat_depth is not None:
@@ -912,22 +1047,25 @@ class Tracker:
         self.last_kf_frame = self.frame_id
 
     # ------------------------------------------------------------------
-    def _track(self, feats: FrameFeatures, ts: float) -> TrackerOutput:
+    def _track(
+        self, feats: FrameFeatures, ts: float, frame_id: int | None = None
+    ) -> TrackerOutput:
         cfg = self.cfg
+        fid = self.frame_id if frame_id is None else frame_id
         has_vel = self.velocity is not None
         vel = self.velocity if has_vel else self._eye4
         # post-relocalization widening (Tracking.cc:1452: th=5 if just
         # relocalized) and the stricter 50-inlier acceptance within
         # mMaxFrames of the reloc (Tracking.cc:1200-1206)
-        just_reloc = self.frame_id < self.last_reloc_frame + 2
+        just_reloc = fid < self.last_reloc_frame + 2
         recent_reloc = (
-            self.frame_id < self.last_reloc_frame + cfg.tracking.max_frames_between_kf
+            fid < self.last_reloc_frame + cfg.tracking.max_frames_between_kf
         )
         p = self.params.replace(
             local_th=jnp.asarray(5.0 if just_reloc else 1.0, jnp.float32)
         )
 
-        m2, Tcw, cur_obs, vel_new, T_cr, scalars = _track_step(
+        m2, Tcw, cur_obs, vel_new, T_cr, scalars, inc_bits = _track_step(
             self.m, feats, self.last_obs, self.last_feats.octave,
             self.last_feats.angle, jnp.asarray(has_vel), vel, self.last_Tcw,
             jnp.asarray(self.ref_kf, jnp.int32), self.K, self.scale_factors,
@@ -938,6 +1076,8 @@ class Tracker:
             pose_rounds=cfg.optim.pose_opt_rounds,
             pose_iters=cfg.optim.pose_opt_iters,
             histo_bins=cfg.matcher.histo_length,
+            ur=self._cur_ur,
+            bf=jnp.asarray(cfg.camera.baseline_times_fx, jnp.float32),
         )
 
         if (
@@ -946,7 +1086,11 @@ class Tracker:
         ):
             # pipelined mode: chain the per-frame device state WITHOUT a
             # sync; LOST/keyframe decisions are resolved in one batched
-            # fetch every frames_per_sync frames (_resolve_pending)
+            # fetch every frames_per_sync frames (_resolve_pending).
+            # (The mono path normally batches the launches too via
+            # _run_scan_batch; this per-frame variant serves depth/stereo.)
+            if not self._pending_frames:
+                self._batch_counters = (self.m.mp_visible, self.m.mp_found)
             self.m = m2
             self.velocity = vel_new
             self.last_Tcw = Tcw
@@ -954,9 +1098,9 @@ class Tracker:
             self.last_obs = cur_obs
             self._pending_frames.append(dict(
                 scalars=scalars, feats=feats, Tcw=Tcw, cur_obs=cur_obs,
-                T_cr=T_cr, ts=ts, frame_id=self.frame_id,
+                T_cr=T_cr, ts=ts, frame_id=fid,
                 ref_kf=self.ref_kf, recent_reloc=recent_reloc,
-                depth=self._cur_depth,
+                depth=self._cur_depth, inc_bits=inc_bits,
             ))
             if len(self._pending_frames) >= cfg.tracking.frames_per_sync:
                 self._resolve_pending()
@@ -996,8 +1140,8 @@ class Tracker:
         self.last_obs = cur_obs
 
         created = False
-        if self._need_new_keyframe(n_i2, int(s[S_N_REF]), n_kf_valid):
-            self._create_keyframe(feats, Tcw, cur_obs, ts)
+        if self._need_new_keyframe(n_i2, int(s[S_N_REF]), n_kf_valid, frame_id=fid):
+            self._create_keyframe(feats, Tcw, cur_obs, ts, frame_id=fid)
             created = True
 
         return TrackerOutput(OK, Tcw, n_i2, created, T_cr=T_cr)
@@ -1006,7 +1150,118 @@ class Tracker:
         """Resolve any pipelined frames (blocking fetch). Called before any
         host-side consumer of tracker state (trajectory export, reset,
         compaction, map views)."""
+        self._drain_img_buffer()
         self._resolve_pending()
+
+    def _build_scan_fn(self):
+        """Jit the fused N-frame tracking program: lax.scan of
+        (extract -> undistort -> _track_step) over a stacked image batch,
+        carrying only the state a frame actually mutates (the two counter
+        planes + per-frame chain state). One program launch and one scalar
+        fetch replace 2-3 launches and a ~22 ms sync PER FRAME
+        (PLATFORM.md §1) — the reference gets the same effect from its
+        camera thread running free of the mapping thread."""
+        cfg = self.cfg
+        camera = self.camera
+        extract_impl = self.extractor._extract_impl
+        statics = dict(
+            n_levels=cfg.orb.n_levels,
+            max_local_points=cfg.capacity.local_ba_points,
+            local_kf_cap=cfg.tracking.local_map_kf_cap,
+            pose_rounds=cfg.optim.pose_opt_rounds,
+            pose_iters=cfg.optim.pose_opt_iters,
+            histo_bins=cfg.matcher.histo_length,
+        )
+
+        def scan_fn(
+            m, imgs, last_obs, last_octave, last_angle, has_vel, vel,
+            last_Tcw, ref_kf, K, scale_factors, inv_sigma2, p,
+        ):
+            def body(carry, img):
+                (mp_visible, mp_found, lobs, loct, lang, hv, v, lT) = carry
+                feats = extract_impl(img)
+                feats = feats.replace(
+                    xy_und=camera.undistort_points(feats.xy)
+                )
+                m_c = m.replace(mp_visible=mp_visible, mp_found=mp_found)
+                m2, Tcw, cur_obs, vel_new, T_cr, scalars, inc = (
+                    _track_step_impl(
+                        m_c, feats, lobs, loct, lang, hv, v, lT, ref_kf,
+                        K, scale_factors, inv_sigma2, p, **statics,
+                    )
+                )
+                carry2 = (
+                    m2.mp_visible, m2.mp_found, cur_obs, feats.octave,
+                    feats.angle, jnp.asarray(True), vel_new, Tcw,
+                )
+                return carry2, (feats, Tcw, cur_obs, T_cr, scalars, inc)
+
+            carry0 = (
+                m.mp_visible, m.mp_found, last_obs, last_octave,
+                last_angle, has_vel, vel, last_Tcw,
+            )
+            return jax.lax.scan(body, carry0, imgs)
+
+        return jax.jit(scan_fn)
+
+    def _run_scan_batch(self):
+        """Launch the fused scan over the buffered frames and queue the
+        per-frame records for resolution (one batched scalar fetch)."""
+        recs = self._img_buffer
+        self._img_buffer = []
+        if not recs:
+            return
+        cfg = self.cfg
+        if len(recs) != cfg.tracking.frames_per_sync:
+            # partial batch (flush mid-batch): per-frame path, same records
+            for r in recs:
+                if self.state != OK:
+                    if self.trajectory:
+                        last = self.trajectory[-1]
+                        self.trajectory.append((r["ts"], last[1], last[2]))
+                    continue
+                feats = self._extract_track(r["img"])
+                self._track(feats, r["ts"], frame_id=r["frame_id"])
+            self._resolve_pending()
+            return
+        if self._scan_fn is None:
+            self._scan_fn = self._build_scan_fn()
+        imgs = jnp.stack([r["img"] for r in recs])
+        has_vel = self.velocity is not None
+        vel = self.velocity if has_vel else self._eye4
+        p = self.params.replace(local_th=jnp.asarray(1.0, jnp.float32))
+        snapshot = (self.m.mp_visible, self.m.mp_found)
+        carry, outs = self._scan_fn(
+            self.m, imgs, self.last_obs, self.last_feats.octave,
+            self.last_feats.angle, jnp.asarray(has_vel), vel, self.last_Tcw,
+            jnp.asarray(self.ref_kf, jnp.int32), self.K, self.scale_factors,
+            self.inv_sigma2, p,
+        )
+        mp_visible, mp_found, last_obs, _loct, _lang, _, vel_new, last_Tcw = carry
+        feats_s, Tcw_s, obs_s, T_cr_s, scalars_s, inc_s = outs
+        self.m = self.m.replace(mp_visible=mp_visible, mp_found=mp_found)
+        self.velocity = vel_new
+        self.last_Tcw = last_Tcw
+        self.last_feats = jax.tree.map(lambda a: a[-1], feats_s)
+        self.last_obs = last_obs
+        self._batch_counters = snapshot
+        for i, rec in enumerate(recs):
+            self._pending_frames.append(dict(
+                scalars=scalars_s[i],
+                feats=jax.tree.map(lambda a, i=i: a[i], feats_s),
+                Tcw=Tcw_s[i], cur_obs=obs_s[i], T_cr=T_cr_s[i],
+                ts=rec["ts"], frame_id=rec["frame_id"], ref_kf=self.ref_kf,
+                recent_reloc=rec["recent_reloc"], depth=None,
+                inc_bits=(inc_s[0][i], inc_s[1][i]),
+            ))
+        self._resolve_pending()
+
+    def _drain_img_buffer(self):
+        """Track any buffered-but-unscanned frames (full batch via the scan,
+        partial via the per-frame path) and resolve them."""
+        if not self._img_buffer:
+            return
+        self._run_scan_batch()
 
     def _resolve_pending(self):
         """Resolve the deferred state machine for all pipelined frames with
@@ -1020,10 +1275,12 @@ class Tracker:
             return
         recs = self._pending_frames
         self._pending_frames = []
+        batch_counters = self._batch_counters
+        self._batch_counters = None
         # one stacked fetch = one tunnel round trip for the whole batch
         svecs = np.asarray(jnp.stack([r["scalars"] for r in recs]))
         cfg = self.cfg
-        created_in_batch = False
+        last_created_fid = None
         for i, (rec, s) in enumerate(zip(recs, svecs)):
             n_i2 = int(s[S_N_INL2])
             n_kf_valid = int(s[S_N_KF])
@@ -1038,6 +1295,20 @@ class Tracker:
                 # repeats the last relative pose for lost frames,
                 # src/System.cc:420-433) and enter relocalization
                 self.state = LOST
+                # roll the visible/found counters back to the loss frame:
+                # the garbage frames' increments never happened as far as
+                # the found-ratio culling statistic is concerned (the
+                # reference never updates stats from lost frames)
+                if batch_counters is not None:
+                    snap_v, snap_f = batch_counters
+                    inc_v = jnp.stack([r["inc_bits"][0] for r in recs])
+                    inc_f = jnp.stack([r["inc_bits"][1] for r in recs])
+                    new_v, new_f = _counters_at(
+                        snap_v, snap_f, inc_v, inc_f, jnp.asarray(i + 1)
+                    )
+                    self.m = self.m.replace(
+                        mp_visible=new_v, mp_found=new_f
+                    )
                 for rec2 in recs[i:]:
                     if self.trajectory:
                         last = self.trajectory[-1]
@@ -1045,14 +1316,24 @@ class Tracker:
                 self._maybe_auto_reset(n_kf_valid)
                 return
             created = False
-            if not created_in_batch and self._need_new_keyframe(
+            # multiple keyframes per batch are allowed as long as the later
+            # frame independently clears the min-frames gate relative to the
+            # keyframe just created (otherwise fast motion pays up to N-1
+            # frames of extra keyframe latency per batch)
+            gate_ok = (
+                last_created_fid is None
+                or rec["frame_id"] >= last_created_fid
+                + max(cfg.tracking.min_frames_between_kf, 1)
+            )
+            if gate_ok and self._need_new_keyframe(
                 n_i2, int(s[S_N_REF]), n_kf_valid, frame_id=rec["frame_id"]
             ):
                 self._create_keyframe(
                     rec["feats"], rec["Tcw"], rec["cur_obs"], rec["ts"],
                     frame_id=rec["frame_id"], depth=rec["depth"],
                 )
-                created = created_in_batch = True
+                created = True
+                last_created_fid = rec["frame_id"]
             if created:
                 self.trajectory.append((rec["ts"], self._eye4, self.ref_kf))
             else:
@@ -1072,6 +1353,8 @@ class Tracker:
         # pipelined frames are gone with the map; drop them (resolving them
         # against the cleared map would be meaningless)
         self._pending_frames.clear()
+        self._img_buffer.clear()
+        self._batch_counters = None
         # the trajectory prefix references the OLD map's keyframe poses; bake
         # every entry to an absolute pose (ref=-1) before the poses vanish,
         # exactly like compaction does for culled anchors
@@ -1107,6 +1390,47 @@ class Tracker:
         self.init_feats = None
         self._cur_depth = None
         self.bow = BowIndex(self.cfg.capacity.max_keyframes)
+
+    def load_map(self, m: SlamMap) -> None:
+        """Adopt an externally loaded map (slam_map/checkpoint.py) and
+        restore every host mirror a live session needs: the allocated-slot
+        counter, the reference keyframe, and the BoW recognition database
+        (rebuilt by re-indexing every valid keyframe; the vocabulary is
+        retrained on the loaded corpus). The session enters LOST so the next
+        frame relocalizes against the loaded map — the reference's
+        acknowledged SaveMap/LoadMap TODO (include/System.h:119-121) plus
+        ActivateLocalizationMode (src/System.cc:364) is exactly this flow.
+        """
+        from ..bow.database import BowIndex
+
+        self._pending_frames.clear()
+        self._img_buffer.clear()
+        self._batch_counters = None
+        if self.reset_hook is not None:
+            self.reset_hook()
+        self.m = m
+        valid_np = np.asarray(m.kf_valid)
+        self.n_kf_host = int(np.asarray(m.n_kf))
+        valid_slots = np.flatnonzero(valid_np)
+        self.ref_kf = int(valid_slots[-1]) if valid_slots.size else 0
+        self.state = LOST if valid_slots.size else NO_IMAGES_YET
+        self.last_feats = None
+        self.last_obs = None
+        self.last_Tcw = self._eye4
+        self.velocity = None
+        self.init_feats = None
+        self.last_kf_frame = self.frame_id
+        self.last_reloc_frame = -(10**9)
+        # rebuild the recognition database from the loaded keyframes
+        self.bow = BowIndex(self.cfg.capacity.max_keyframes)
+        if valid_slots.size >= 4:
+            self.bow.retrain(
+                m.kf_desc, m.kf_feat_valid, m.kf_valid,
+                jax.random.PRNGKey(self.cfg.seed + 7),
+            )
+        else:
+            for k in valid_slots:
+                self.bow.add(int(k), m.kf_desc[int(k)], m.kf_feat_valid[int(k)])
 
     def _need_new_keyframe(
         self, n_inliers: int, n_ref: int, n_kf_valid: int,
@@ -1217,35 +1541,43 @@ class Tracker:
         from ..bow.database import query_candidates
         from ..slam_map.covisibility import covisibility_matrix
 
+        # lazily propagate device-side keyframe culls into the database
+        # (KeyFrameDatabase::erase, src/KeyFrameDatabase.cc:60-75 — the culls
+        # happen inside the jitted mapping pass, so the rows are zeroed here,
+        # at the first query that could otherwise return a dead keyframe)
+        self.bow.mask_valid(self.m.kf_valid)
         v = self.bow.query_vector(feats.desc, feats.valid)
         W = covisibility_matrix(self.m)
         acc, keep = query_candidates(
-            self.bow.db, v, jnp.zeros(self.m.max_kf, bool), W.astype(jnp.float32)
+            self.bow.db, v, ~self.m.kf_valid, W.astype(jnp.float32)
         )
         acc = np.asarray(jnp.where(keep, acc, -1.0))
         order = np.argsort(-acc)
-        return [int(k) for k in order[:3] if acc[k] > 0] or [self.ref_kf]
+        cands = [int(k) for k in order[:3] if acc[k] > 0]
+        return cands or self._reloc_candidates_untrained(feats)
 
     def _reloc_candidates_untrained(self, feats: FrameFeatures) -> list[int]:
-        """Pre-vocabulary fallback: rank ALL keyframes by brute-force
-        descriptor match count against the frame (the map holds <= ~4 KFs at
-        this point, so the full pass is cheap)."""
+        """Pre-vocabulary fallback: rank ALL valid keyframes by brute-force
+        descriptor match count against the frame. Candidates are enumerated
+        from the map's kf_valid (device truth) — NOT the n_kf_host mirror,
+        which is 0 for an externally loaded map."""
         m = self.m
-        n_kf = self.n_kf_host
-        if n_kf == 0:
+        valid_slots = np.flatnonzero(np.asarray(m.kf_valid))
+        if valid_slots.size == 0:
             return [self.ref_kf]
-        counts = []
-        for k in range(n_kf):
-            if not bool(m.kf_valid[k]):
-                continue
+        count_futs = []
+        for k in valid_slots:
+            k = int(k)
             has = (m.kf_obs[k] >= 0) & m.kf_feat_valid[k]
             idx, _ = matcher.match_by_descriptor(
                 m.kf_desc[k], feats.desc, has, feats.valid,
                 nn_ratio=self.cfg.matcher.nn_ratio_bow,
             )
-            counts.append((int((idx >= 0).sum()), k))
-        counts.sort(reverse=True)
-        return [k for _, k in counts[:3]] or [self.ref_kf]
+            count_futs.append((idx >= 0).sum())
+        # one stacked fetch for all candidates (PLATFORM.md §1)
+        counts = np.asarray(jnp.stack(count_futs))
+        order = np.argsort(-counts)
+        return [int(valid_slots[i]) for i in order[:3]]
 
     def _relocalize(self, feats: FrameFeatures, ts: float) -> TrackerOutput:
         """Relocalization (Tracking::Relocalization,
@@ -1281,7 +1613,8 @@ class Tracker:
                 continue
             Tcw, cur_obs2, n_opt = _pose_opt_on_obs(
                 m, feats, jnp.where(inl, cur_obs, -1), Tcw0, self.K,
-                self.inv_sigma2,
+                self.inv_sigma2, ur=self._cur_ur,
+                bf=jnp.asarray(cfg.camera.baseline_times_fx, jnp.float32),
             )
             # widen with the local map before the final acceptance gate
             cur_obs3, _ = _track_local_map(
@@ -1293,7 +1626,9 @@ class Tracker:
                 local_kf_cap=cfg.tracking.local_map_kf_cap,
             )
             Tcw, cur_obs3, n_opt = _pose_opt_on_obs(
-                m, feats, cur_obs3, Tcw, self.K, self.inv_sigma2
+                m, feats, cur_obs3, Tcw, self.K, self.inv_sigma2,
+                ur=self._cur_ur,
+                bf=jnp.asarray(cfg.camera.baseline_times_fx, jnp.float32),
             )
             if best is None or int(n_opt) > best[0]:
                 best = (int(n_opt), Tcw, cur_obs3)
