@@ -271,3 +271,161 @@ class TestPoseGraph:
         # scales stay near 1 (SE3-like loop)
         for k in range(Kn):
             assert abs(float(sim3.scale_of(S_opt[k])) - 1.0) < 0.1
+
+
+class TestPretrainedVocabulary:
+    """DBoW2 text-format vocabulary embedding (TemplatedVocabulary.h:1345-
+    1440 -> implicit complete tree) and the sparse database it needs at
+    ORBvoc scale."""
+
+    def _train_small(self, seed=0, k=3, L=2):
+        rng = np.random.default_rng(seed)
+        desc, _ = corpus_with_clusters(rng, n_clusters=9, per_cluster=40)
+        v = voc.train_vocabulary(
+            desc, jnp.ones(desc.shape[0], bool), jax.random.PRNGKey(1),
+            branching=k, depth=L,
+        )
+        return v, desc
+
+    def test_roundtrip_through_dbow2_text(self, tmp_path):
+        vocab, desc = self._train_small()
+        path = str(tmp_path / "voc.txt")
+        voc.save_dbow2_text(vocab, path)
+        vocab2 = voc.vocabulary_from_dbow2(path)
+        assert vocab2.branching == vocab.branching
+        assert vocab2.depth == vocab.depth
+        q = desc[::7]
+        ok = jnp.ones(q.shape[0], bool)
+        w1, g1 = voc.transform(vocab, q, ok)
+        w2, g2 = voc.transform(vocab2, q, ok)
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+        # idf survives (word weights written for leaves)
+        i1 = np.asarray(vocab.word_idf)
+        i2 = np.asarray(vocab2.word_idf)
+        valid_words = np.asarray(vocab.level_valid[vocab.depth - 1])
+        np.testing.assert_allclose(i1[valid_words], i2[valid_words], atol=1e-5)
+
+    def test_incomplete_tree_with_shallow_leaves(self, tmp_path):
+        """Leaves above the final level (the general ORBvoc case) are
+        propagated down as single-child chains: descent still terminates at
+        a final-level word carrying the leaf's weight."""
+        # hand-built k=2 L=2 file: root has 2 children; child 1 is a LEAF at
+        # level 1 (no children); child 2 has two leaf children
+        d_a = " ".join(["255"] + ["0"] * 31)   # descriptor A: first byte ff
+        d_b = " ".join(["0"] * 32)             # descriptor B: zeros
+        d_c = " ".join(["15"] + ["0"] * 31)    # descriptor C: 0x0f
+        lines = [
+            "2 2 0 0",
+            f"0 1 {d_a} 0.7",   # node 1: leaf at level 1 (desc A)
+            f"0 0 {d_b} 0",     # node 2: internal (desc B)
+            f"2 1 {d_b} 0.4",   # node 3: leaf (desc B)
+            f"2 1 {d_c} 0.3",   # node 4: leaf (desc C)
+        ]
+        path = str(tmp_path / "incomplete.txt")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        v = voc.vocabulary_from_dbow2(path)
+        # query near A must land on A's propagated word with weight 0.7
+        qa = np.zeros((1, 8), np.uint32)
+        qa[0, 0] = 255
+        w, _ = voc.transform(v, jnp.asarray(qa), jnp.ones(1, bool))
+        wa = int(w[0])
+        assert float(v.word_idf[wa]) == np.float32(0.7)
+        # query of zeros lands on B-leaf word (weight 0.4)
+        qb = np.zeros((1, 8), np.uint32)
+        w, _ = voc.transform(v, jnp.asarray(qb), jnp.ones(1, bool))
+        assert float(v.word_idf[int(w[0])]) == np.float32(0.4)
+
+    def test_sparse_db_matches_dense(self):
+        from weiner_slamit_v2_tpu.bow.database import (
+            build_db_from_keyframes,
+            build_sparse_db_from_keyframes,
+            query_candidates_sparse,
+            sparse_bow_row,
+        )
+
+        vocab, desc = self._train_small(k=4, L=3)
+        rng = np.random.default_rng(3)
+        Kf, N = 6, 48
+        kf_desc = jnp.stack(
+            [desc[rng.choice(desc.shape[0], N, replace=False)] for _ in range(Kf)]
+        )
+        feat_valid = jnp.asarray(rng.uniform(size=(Kf, N)) > 0.1)
+        kf_valid = jnp.ones(Kf, bool).at[4].set(False)
+        dense = build_db_from_keyframes(vocab, kf_desc, feat_valid, kf_valid)
+        sparse = build_sparse_db_from_keyframes(vocab, kf_desc, feat_valid, kf_valid)
+
+        qw, _ = voc.transform(vocab, kf_desc[0], feat_valid[0])
+        vq = voc.bow_vector(vocab, qw)
+        q_wid, q_wt = sparse_bow_row(vocab, qw)
+        covis = jnp.zeros((Kf, Kf), jnp.float32)
+        exclude = jnp.zeros(Kf, bool)
+        acc_d, keep_d = query_candidates(
+            dense, vq, exclude, covis, jnp.asarray(0.0)
+        )
+        acc_s, keep_s = query_candidates_sparse(
+            sparse, q_wid, q_wt, exclude, covis, jnp.asarray(0.0),
+            n_words=vocab.n_words,
+        )
+        np.testing.assert_allclose(np.asarray(acc_d), np.asarray(acc_s), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(keep_d), np.asarray(keep_s))
+
+    def test_bowindex_pretrained_path(self, tmp_path):
+        """BowIndex.from_pretrained: loads the file, never retrains, and
+        produces working relocalization-style candidates."""
+        from weiner_slamit_v2_tpu.bow.database import BowIndex
+
+        vocab, desc = self._train_small(k=3, L=2)
+        path = str(tmp_path / "voc.txt")
+        voc.save_dbow2_text(vocab, path)
+        idx = BowIndex.from_pretrained(path, max_kf=8, sparse_slots=48)
+        assert idx.ready and idx.pretrained
+        rng = np.random.default_rng(5)
+        rows = []
+        for k in range(4):
+            d = desc[rng.choice(desc.shape[0], 48, replace=False)]
+            rows.append(d)
+            idx.add(k, d, jnp.ones(48, bool))
+        # query with keyframe 2's own descriptors: kf 2 must win
+        q = idx.query_vector(rows[2], jnp.ones(48, bool))
+        covis = jnp.zeros((8, 8), jnp.float32)
+        acc, keep = idx.candidates(q, jnp.zeros(8, bool), covis)
+        assert int(jnp.argmax(jnp.where(keep, acc, -1.0))) == 2
+        # retrain must keep the pretrained vocabulary
+        v_before = idx.vocab
+        idx.retrain(
+            jnp.stack([r for r in rows]),
+            jnp.ones((4, 48), bool),
+            jnp.ones(4, bool).at[3].set(True)[:4],
+            jax.random.PRNGKey(0),
+        )
+        assert idx.vocab is v_before
+
+    def test_bowindex_sparse_mode_forced(self, tmp_path):
+        """A vocabulary above the dense-row budget flips the index to the
+        sparse database and candidates still work."""
+        from weiner_slamit_v2_tpu.bow.database import (
+            BowIndex, SparseKeyframeDatabase,
+        )
+
+        vocab, desc = self._train_small(k=8, L=2)  # 64 words
+        idx = BowIndex(8, vocab=vocab, sparse_slots=32)
+        idx.sparse = True  # force the big-vocab path on a small vocab
+        idx.db = SparseKeyframeDatabase.create(8, 32)
+        rng = np.random.default_rng(9)
+        rows = []
+        for k in range(3):
+            d = desc[rng.choice(desc.shape[0], 32, replace=False)]
+            rows.append(d)
+            idx.add(k, d, jnp.ones(32, bool))
+        q = idx.query_vector(rows[1], jnp.ones(32, bool))
+        acc, keep = idx.candidates(
+            q, jnp.zeros(8, bool), jnp.zeros((8, 8), jnp.float32)
+        )
+        assert int(jnp.argmax(jnp.where(keep, acc, -1.0))) == 1
+        # erase + permute keep shapes/validity coherent
+        idx.erase(0)
+        assert not bool(idx.db.has_entry[0])
+        idx.mask_valid(jnp.ones(8, bool).at[2].set(False))
+        assert not bool(idx.db.has_entry[2])

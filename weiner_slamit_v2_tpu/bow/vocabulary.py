@@ -202,14 +202,14 @@ def l1_score(v: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 def load_dbow2_text(path: str, max_nodes: int | None = None):
     """Parse a DBoW2 text vocabulary (header 'k L scoring weighting', then
     one node per line: parent is_leaf d0..d31 weight —
-    TemplatedVocabulary.h:1345-1440). Returns (k, L, nodes) where nodes is a
-    numpy structured summary; conversion to the implicit-tree Vocabulary is
-    only possible when the file's tree is complete, which ORBvoc.txt is not
-    guaranteed to be — this loader exists for format parity/inspection."""
+    TemplatedVocabulary.h:1345-1440). Node ids are implicit: root is 0, the
+    node on line i gets id i+1, and parents always precede children (DBoW2
+    appends children after their parent exists). Returns (k, L, nodes)."""
     with open(path) as f:
         header = f.readline().split()
         k, L = int(header[0]), int(header[1])
         parents = []
+        leaf = []
         descs = []
         weights = []
         for i, line in enumerate(f):
@@ -219,10 +219,153 @@ def load_dbow2_text(path: str, max_nodes: int | None = None):
             if len(parts) < 35:
                 continue
             parents.append(int(parts[0]))
+            leaf.append(int(parts[1]))
             descs.append([int(x) for x in parts[2:34]])
             weights.append(float(parts[34]))
     return k, L, {
         "parent": np.asarray(parents, np.int64),
+        "is_leaf": np.asarray(leaf, np.int64),
         "desc": np.asarray(descs, np.uint8),
         "weight": np.asarray(weights, np.float64),
     }
+
+
+def _bytes_to_u32(desc_bytes: np.ndarray) -> np.ndarray:
+    """(N, 32) uint8 -> (N, 8) uint32, little-endian within each word.
+
+    Any consistent byte->word packing preserves Hamming distances, which is
+    all the vocabulary needs (FORB::distance is a popcount over the whole
+    256-bit string — jni/Thirdparty/DBoW2/src/FORB.cpp:81)."""
+    b = desc_bytes.astype(np.uint32).reshape(-1, 8, 4)
+    return (
+        b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16) | (b[:, :, 3] << 24)
+    ).astype(np.uint32)
+
+
+def _u32_to_bytes(desc_u32: np.ndarray) -> np.ndarray:
+    """(N, 8) uint32 -> (N, 32) uint8 (inverse of _bytes_to_u32)."""
+    d = desc_u32.astype(np.uint32)
+    out = np.empty((d.shape[0], 8, 4), np.uint8)
+    out[:, :, 0] = d & 0xFF
+    out[:, :, 1] = (d >> 8) & 0xFF
+    out[:, :, 2] = (d >> 16) & 0xFF
+    out[:, :, 3] = (d >> 24) & 0xFF
+    return out.reshape(-1, 32)
+
+
+def vocabulary_from_dbow2(path: str) -> Vocabulary:
+    """Embed a DBoW2 text vocabulary (e.g. the standard ORBvoc.txt, k=10
+    L=6, ~1.08M nodes) into the implicit-complete-tree :class:`Vocabulary`.
+
+    The file's explicit tree is generally INCOMPLETE (k-means produced fewer
+    than k children for some nodes; some leaves sit above the final level).
+    Mapping:
+
+    * each node's slot = parent_slot * k + sibling_rank, with ``level_valid``
+      masking the slots that have no trained node — descent then simply never
+      selects them (transform's cand_ok mask);
+    * a leaf at level l < L is propagated down as a single-child chain with
+      the same descriptor, so batched descent always terminates at a
+      final-level word (word id = final slot);
+    * leaf weights become ``word_idf`` (TF_IDF weighting: the stored node
+      weight IS the idf — TemplatedVocabulary.h:1345-1440).
+    """
+    k, L, nodes = load_dbow2_text(path)
+    parent = nodes["parent"].astype(np.int64)
+    is_leaf = nodes["is_leaf"].astype(bool)
+    weight = nodes["weight"].astype(np.float32)
+    desc_u32 = _bytes_to_u32(nodes["desc"])
+    n = parent.shape[0]
+    ids = np.arange(1, n + 1)
+
+    # level of each node (root = 0); parents precede children, so one pass
+    # per level suffices
+    level = np.full(n + 1, -1, np.int64)
+    level[0] = 0
+    for l in range(1, L + 1):
+        sel = (level[ids] == -1) & (level[parent] == l - 1)
+        level[ids[sel]] = l
+    if (level[ids] == -1).any():
+        bad = int((level[ids] == -1).sum())
+        raise ValueError(
+            f"{bad} nodes deeper than L={L} or with forward parent refs"
+        )
+
+    # sibling rank (order of appearance among nodes sharing a parent)
+    order = np.argsort(parent, kind="stable")
+    sp = parent[order]
+    first = np.searchsorted(sp, sp, side="left")
+    rank_sorted = np.arange(n) - first
+    rank = np.empty(n, np.int64)
+    rank[order] = rank_sorted
+    if rank.max(initial=0) >= k:
+        raise ValueError("a node has more than k children")
+
+    # implicit slot per node: parent_slot * k + rank
+    slot = np.full(n + 1, -1, np.int64)
+    slot[0] = 0
+    for l in range(1, L + 1):
+        sel = level[ids] == l
+        slot[ids[sel]] = slot[parent[sel]] * k + rank[sel]
+
+    level_desc = [np.zeros((k ** (l + 1), 8), np.uint32) for l in range(L)]
+    level_valid = [np.zeros((k ** (l + 1),), bool) for l in range(L)]
+    for l in range(1, L + 1):
+        sel = level[ids] == l
+        s = slot[ids[sel]]
+        level_desc[l - 1][s] = desc_u32[sel]
+        level_valid[l - 1][s] = True
+
+    # propagate above-final-level leaves down as single-child chains and
+    # collect word idf weights at the final level
+    word_idf = np.zeros(k**L, np.float32)
+    for l in range(1, L + 1):
+        sel = is_leaf & (level[ids] == l)
+        if not sel.any():
+            continue
+        cur = slot[ids[sel]]
+        d = desc_u32[sel]
+        for lc in range(l, L):
+            cur = cur * k
+            level_desc[lc][cur] = d
+            level_valid[lc][cur] = True
+        word_idf[cur] = weight[sel]
+
+    return Vocabulary(
+        level_desc=tuple(jnp.asarray(a) for a in level_desc),
+        level_valid=tuple(jnp.asarray(a) for a in level_valid),
+        word_idf=jnp.asarray(word_idf),
+        branching=k,
+        depth=L,
+    )
+
+
+def save_dbow2_text(vocab: Vocabulary, path: str) -> None:
+    """Write the vocabulary in DBoW2's text format (the inverse of
+    loadFromTextFile — TemplatedVocabulary.h:1286-1343): header
+    'k L scoring weighting' (0 0 = L1_NORM, TF_IDF), then one line per node
+    in level order, 'parent is_leaf b0..b31 weight'. Gives round-trip tests
+    and lets a vocabulary trained here be consumed by DBoW2 tooling."""
+    K, L = vocab.branching, vocab.depth
+    idf = np.asarray(vocab.word_idf)
+    fid: dict[tuple[int, int], int] = {}
+    next_id = 1
+    with open(path, "w") as f:
+        f.write(f"{K} {L} 0 0\n")
+        for l in range(L):
+            desc = _u32_to_bytes(np.asarray(vocab.level_desc[l]))
+            valid = np.asarray(vocab.level_valid[l])
+            for s in np.nonzero(valid)[0]:
+                ps = int(s) // K
+                pid = 0 if l == 0 else fid.get((l - 1, ps), -1)
+                if pid < 0:
+                    continue  # orphan slot (untrained parent): skip subtree
+                fid[(l, int(s))] = next_id
+                leaf = 1 if l == L - 1 else 0
+                w = float(idf[int(s)]) if leaf else 0.0
+                f.write(
+                    f"{pid} {leaf} "
+                    + " ".join(str(int(x)) for x in desc[int(s)])
+                    + f" {w:.6f}\n"
+                )
+                next_id += 1

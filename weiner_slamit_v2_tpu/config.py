@@ -163,6 +163,9 @@ class SlamConfig:
     capacity: MapCapacityConfig = field(default_factory=MapCapacityConfig)
     sensor: str = "monocular"   # monocular | stereo | rgbd
     seed: int = 0               # replaces DUtils::Random::SeedRandOnce(0)
+    # Pre-trained DBoW2-format vocabulary (the ORBvoc.txt the reference
+    # loads at src/System.cc:124-129); None = train online from keyframes
+    vocabulary_path: str | None = None
 
     def replace(self, **kwargs) -> "SlamConfig":
         return dataclasses.replace(self, **kwargs)

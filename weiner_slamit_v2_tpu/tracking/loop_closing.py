@@ -141,19 +141,15 @@ class LoopCloser:
         cfg = self.cfg
         t = self.tracker
         m = t.m
-        from ..bow.database import query_candidates
-
         W = covisibility_matrix(m)
         Wnp = np.asarray(W)
         covis_group = set(np.nonzero(Wnp[kf_id] > 0)[0].tolist()) | {kf_id}
 
         # min score among covisible neighbors (LoopClosing.cc:137-153)
-        v = t.bow.db.bow[kf_id]
+        v = t.bow.row_query(kf_id)
         neigh = [k for k in covis_group if k != kf_id]
         if neigh:
-            from ..bow.vocabulary import l1_score
-
-            scores = np.asarray(l1_score(t.bow.db.bow[jnp.asarray(neigh)], v))
+            scores = np.asarray(t.bow.score_rows(neigh, v))
             min_score = float(scores.min())
         else:
             min_score = 0.0
@@ -168,9 +164,8 @@ class LoopCloser:
         # erased); the validity mask is the KeyFrameDatabase::erase analogue
         exclude |= ~np.asarray(m.kf_valid)
 
-        acc, keep = query_candidates(
-            t.bow.db, v, jnp.asarray(exclude), W.astype(jnp.float32),
-            jnp.asarray(min_score, jnp.float32),
+        acc, keep = t.bow.candidates(
+            v, jnp.asarray(exclude), W.astype(jnp.float32), min_score
         )
         keep_np = np.asarray(keep)
         cands = np.nonzero(keep_np)[0]

@@ -808,9 +808,21 @@ class Tracker:
         self._posenet_fn = None
         self.last_person = None  # (positions (17,2), scores (17,), mask)
         self.allow_keyframes = True  # cleared in localization-only mode
+        self.bow = self._make_bow()
+
+    def _make_bow(self):
+        """Fresh recognition index. cfg.vocabulary_path loads a pre-trained
+        DBoW2-format vocabulary (the ORBvoc.txt flow — src/System.cc:124-129);
+        otherwise the vocabulary trains online from the session's keyframes."""
         from ..bow.database import BowIndex
 
-        self.bow = BowIndex(cfg.capacity.max_keyframes)
+        path = getattr(self.cfg, "vocabulary_path", None)
+        if path:
+            return BowIndex.from_pretrained(
+                path, self.cfg.capacity.max_keyframes,
+                sparse_slots=self.cfg.orb.n_features,
+            )
+        return BowIndex(self.cfg.capacity.max_keyframes)
 
     def enable_posenet(self, params=None) -> None:
         """Run the PoseNet human-keypoint head on every frame (the reference
@@ -1348,8 +1360,6 @@ class Tracker:
     def reset(self):
         """Tracking::Reset (src/Tracking.cc:1835-1870): clear the map,
         database, and per-frame state; keep the trajectory log."""
-        from ..bow.database import BowIndex
-
         # pipelined frames are gone with the map; drop them (resolving them
         # against the cleared map would be meaningless)
         self._pending_frames.clear()
@@ -1389,7 +1399,7 @@ class Tracker:
         self.last_reloc_frame = -(10**9)
         self.init_feats = None
         self._cur_depth = None
-        self.bow = BowIndex(self.cfg.capacity.max_keyframes)
+        self.bow = self._make_bow()
 
     def load_map(self, m: SlamMap) -> None:
         """Adopt an externally loaded map (slam_map/checkpoint.py) and
@@ -1401,8 +1411,6 @@ class Tracker:
         acknowledged SaveMap/LoadMap TODO (include/System.h:119-121) plus
         ActivateLocalizationMode (src/System.cc:364) is exactly this flow.
         """
-        from ..bow.database import BowIndex
-
         self._pending_frames.clear()
         self._img_buffer.clear()
         self._batch_counters = None
@@ -1422,8 +1430,10 @@ class Tracker:
         self.last_kf_frame = self.frame_id
         self.last_reloc_frame = -(10**9)
         # rebuild the recognition database from the loaded keyframes
-        self.bow = BowIndex(self.cfg.capacity.max_keyframes)
-        if valid_slots.size >= 4:
+        self.bow = self._make_bow()
+        if self.bow.pretrained:
+            self.bow.reindex(m.kf_desc, m.kf_feat_valid, m.kf_valid)
+        elif valid_slots.size >= 4:
             self.bow.retrain(
                 m.kf_desc, m.kf_feat_valid, m.kf_valid,
                 jax.random.PRNGKey(self.cfg.seed + 7),
@@ -1521,10 +1531,11 @@ class Tracker:
             self.bow.maybe_train(
                 desc, valid, jax.random.PRNGKey(self.cfg.seed + 7)
             )
-        elif self.n_kf_host in (16, 64):
+        elif self.n_kf_host in (16, 64) and not self.bow.pretrained:
             # vocabulary lifecycle: retrain on the accumulated corpus and
             # re-index all keyframes (the initial tiny-corpus vocabulary has
-            # mostly-empty words and a frozen idf)
+            # mostly-empty words and a frozen idf); a pre-trained ORBvoc-style
+            # vocabulary is fixed for the session (src/System.cc:124-129)
             self.bow.retrain(
                 m.kf_desc, m.kf_feat_valid, m.kf_valid,
                 jax.random.PRNGKey(self.cfg.seed + 7 + self.n_kf_host),
@@ -1538,7 +1549,6 @@ class Tracker:
         keyframe (instead of only the reference KF)."""
         if not self.bow.ready:
             return self._reloc_candidates_untrained(feats)
-        from ..bow.database import query_candidates
         from ..slam_map.covisibility import covisibility_matrix
 
         # lazily propagate device-side keyframe culls into the database
@@ -1548,8 +1558,8 @@ class Tracker:
         self.bow.mask_valid(self.m.kf_valid)
         v = self.bow.query_vector(feats.desc, feats.valid)
         W = covisibility_matrix(self.m)
-        acc, keep = query_candidates(
-            self.bow.db, v, ~self.m.kf_valid, W.astype(jnp.float32)
+        acc, keep = self.bow.candidates(
+            v, ~self.m.kf_valid, W.astype(jnp.float32)
         )
         acc = np.asarray(jnp.where(keep, acc, -1.0))
         order = np.argsort(-acc)
