@@ -228,3 +228,83 @@ class TestCompaction:
         from weiner_slamit_v2_tpu.io.evaluation import ate_rmse
 
         assert ate_rmse(Twc, gt) < 0.12
+
+
+class TestTrajectoryReanchor:
+    """Adoption-time spanning-tree re-anchoring of trajectory entries
+    (the mTcp mechanism — src/KeyFrame.cc:460-552, src/System.cc:435-442):
+    when a mapping pass culls a keyframe, entries anchored to it must move
+    to the surviving parent and keep receiving later corrections."""
+
+    def _setup(self):
+        import jax.numpy as jnp
+
+        from weiner_slamit_v2_tpu.geometry import se3
+
+        cam = Camera.create(300.0, 300.0, 159.5, 119.5, width=W, height=H)
+        sys_ = System(small_config(), cam)
+        t = sys_.tracker
+        T0 = jnp.eye(4)
+        T1 = se3.exp(jnp.asarray([0.3, 0.0, 0.0, 0.0, 0.1, 0.0]))
+        T2 = se3.exp(jnp.asarray([0.6, 0.1, 0.0, 0.0, 0.2, 0.0]))
+        m = t.m
+        kf_pose = m.kf_pose.at[0].set(T0).at[1].set(T1).at[2].set(T2)
+        kf_valid = m.kf_valid.at[0].set(True).at[1].set(True).at[2].set(True)
+        kf_parent = m.kf_parent.at[1].set(0).at[2].set(1)
+        t.m = m.replace(kf_pose=kf_pose, kf_valid=kf_valid, kf_parent=kf_parent)
+        t.n_kf_host = 3
+        t.ref_kf = 2
+        T_cr = se3.exp(jnp.asarray([0.05, 0.0, 0.0, 0.0, 0.0, 0.02]))
+        t.trajectory = [
+            (0.0, jnp.eye(4), 0),
+            (1.0, T_cr, 2),   # anchored to the soon-culled keyframe
+        ]
+        t.state = "OK"
+        return sys_, t, (T0, T1, T2, T_cr)
+
+    def test_entries_follow_surviving_parent_through_corrections(self):
+        import jax.numpy as jnp
+
+        from weiner_slamit_v2_tpu.geometry import se3
+
+        sys_, t, (T0, T1, T2, T_cr) = self._setup()
+        _, Twc_before = t.trajectory_Twc()
+
+        prev_valid = t.m.kf_valid
+        t.m = t.m.replace(kf_valid=t.m.kf_valid.at[2].set(False))
+        sys_._reanchor_culled_trajectory(prev_valid)
+
+        ts, ref = t.trajectory[1][0], t.trajectory[1][2]
+        assert ref == 1, "entry must re-anchor to the surviving parent"
+        assert t.ref_kf == 1
+        # exported pose unchanged at re-anchor time
+        _, Twc_after = t.trajectory_Twc()
+        np.testing.assert_allclose(Twc_after[1], Twc_before[1], atol=1e-5)
+
+        # a later correction to the PARENT (loop/GBA analogue) must move the
+        # re-anchored entry with it
+        dT = se3.exp(jnp.asarray([0.0, 0.2, 0.0, 0.0, 0.0, 0.1]))
+        T1_corr = dT @ T1
+        t.m = t.m.replace(kf_pose=t.m.kf_pose.at[1].set(T1_corr))
+        _, Twc_corr = t.trajectory_Twc()
+        # expected: Tcw = (T_cr @ T2 @ inv(T1)) @ T1_corr
+        exp_Tcw = np.asarray(T_cr @ T2 @ se3.inv(T1) @ T1_corr)
+        np.testing.assert_allclose(
+            Twc_corr[1], np.linalg.inv(exp_Tcw), atol=1e-5
+        )
+        moved = np.linalg.norm(Twc_corr[1][:3, 3] - Twc_after[1][:3, 3])
+        assert moved > 0.05, "correction did not propagate to the entry"
+
+    def test_chained_culls_walk_to_live_ancestor(self):
+        import jax.numpy as jnp
+
+        sys_, t, (T0, T1, T2, T_cr) = self._setup()
+        prev_valid = t.m.kf_valid
+        # both 1 and 2 culled in the same adopted pass -> anchor on 0
+        t.m = t.m.replace(
+            kf_valid=t.m.kf_valid.at[2].set(False).at[1].set(False)
+        )
+        _, Twc_before_np = None, None
+        sys_._reanchor_culled_trajectory(prev_valid)
+        assert t.trajectory[1][2] == 0
+        assert np.all(np.isfinite(np.asarray(t.trajectory[1][1])))

@@ -180,7 +180,9 @@ class System:
                 m, t.m.mp_visible, t.m.mp_found,
                 snap_counters[0], snap_counters[1],
             )
+        prev_kf_valid = t.m.kf_valid
         t.m = m
+        self._reanchor_culled_trajectory(prev_kf_valid)
         # mapping may have adjusted poses: refresh the cached last pose when
         # the tracker is still referencing the mapped keyframe AND no newer
         # frame pose has been chained since (pipelined mode advances
@@ -190,6 +192,48 @@ class System:
         if self.loop_closer is not None:
             self.loop_closer.on_keyframe(kf_id)
         return True
+
+    def _reanchor_culled_trajectory(self, prev_kf_valid) -> None:
+        """Re-anchor trajectory entries whose reference keyframe was culled
+        by the just-adopted mapping pass: rewrite (T_cr, ref) to the first
+        SURVIVING spanning-tree ancestor via the relative pose at cull time
+        — the mTcp mechanism of KeyFrame::SetBadFlag (src/KeyFrame.cc:
+        460-552), consumed by trajectory export (src/System.cc:435-442).
+        Unlike baking to an absolute pose, the re-anchored entries keep
+        receiving every later loop/GBA correction through their new parent.
+        The exported pose is unchanged at re-anchor time:
+        T_cr' @ T_p == (T_cr @ T_c @ T_p^-1) @ T_p == T_cr @ T_c."""
+        t = self.tracker
+        if not t.trajectory:
+            return
+        m = t.m
+        culled = np.flatnonzero(
+            np.asarray(prev_kf_valid & ~m.kf_valid)
+        )
+        if culled.size == 0:
+            return
+        valid_np = np.asarray(m.kf_valid)
+        parent_np = np.asarray(m.kf_parent)
+        from ..geometry import se3
+
+        for c in culled.tolist():
+            p = int(parent_np[c])
+            hops = 0
+            while p >= 0 and not valid_np[p] and hops < len(parent_np):
+                p = int(parent_np[p])
+                hops += 1
+            if p >= 0 and valid_np[p]:
+                # culled poses stay readable in their slot until compaction
+                T_cp = m.kf_pose[c] @ se3.inv(m.kf_pose[p])
+                new_ref = p
+            else:
+                T_cp = m.kf_pose[c]  # no surviving ancestor: bake absolute
+                new_ref = -1
+            for i, (ts, T_cr, ref) in enumerate(t.trajectory):
+                if ref == c:
+                    t.trajectory[i] = (ts, T_cr @ T_cp, new_ref)
+            if t.ref_kf == c and new_ref >= 0:
+                t.ref_kf = new_ref
 
     def finish(self):
         """Drain the pipeline (System::Shutdown analogue,
