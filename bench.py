@@ -21,11 +21,21 @@ import time
 
 import numpy as np
 
-WARMUP_FRAMES = 16
+# Warmup must cover the FULL steady-state program mix before timing starts
+# (PLATFORM.md §2b): the per-frame-path compiles, the fused N-frame scan
+# (engages at pipeline_warmup_kfs keyframes ~frame 52; ~30 s compile), the
+# first keyframe created in scan mode (~3.6 s of fresh programs), and the
+# nKF=16 vocabulary retrain. Compiles are one-time costs; the persistent
+# compile cache below also carries them across runs.
+WARMUP_FRAMES = 100
 TIMED_FRAMES = 100
 
 
 def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from weiner_slamit_v2_tpu.config import (
@@ -59,7 +69,9 @@ def main():
     seq = make_synthetic_sequence(
         n_frames=n_frames, h=H, w=W, seed=0, motion="orbit", K=K
     )
-    images = [np.asarray(f.image, np.float32) for f in seq.frames]
+    # 8-bit frames, as a camera delivers them: 0.3 MB/frame over the tunnel
+    # instead of 1.2 MB (the transfer is a first-order per-frame cost)
+    images = [np.asarray(np.clip(f.image, 0, 255), np.uint8) for f in seq.frames]
     stamps = [f.timestamp for f in seq.frames]
 
     sys_ = System(cfg, cam, enable_mapping=True)

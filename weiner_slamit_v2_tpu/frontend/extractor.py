@@ -85,6 +85,10 @@ class OrbExtractor:
 
     def _extract_impl(self, image: jnp.ndarray) -> FrameFeatures:
         cfg = self.cfg
+        # accept uint8 camera frames: host->device image transfer is the
+        # single biggest per-frame byte stream (1.2 MB f32 vs 0.3 MB u8 at
+        # 640x480 over a ~25 MB/s tunnel); all compute is f32 on device
+        image = image.astype(jnp.float32)
         levels = pyramid.build_pyramid(image, cfg.n_levels, cfg.scale_factor)
 
         xs, resps, angles, octaves, descs, valids = [], [], [], [], [], []

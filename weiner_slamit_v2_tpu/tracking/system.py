@@ -229,9 +229,11 @@ class System:
             else:
                 T_cp = m.kf_pose[c]  # no surviving ancestor: bake absolute
                 new_ref = -1
+            from .tracker import _mat
+
             for i, (ts, T_cr, ref) in enumerate(t.trajectory):
                 if ref == c:
-                    t.trajectory[i] = (ts, T_cr @ T_cp, new_ref)
+                    t.trajectory[i] = (ts, _mat(T_cr) @ T_cp, new_ref)
             if t.ref_kf == c and new_ref >= 0:
                 t.ref_kf = new_ref
 
@@ -262,7 +264,7 @@ class System:
         # trajectory anchors: entries whose keyframe was dropped are baked
         # into absolute poses (ref = -1); survivors are renumbered
         if t.trajectory:
-            T_cr = jnp.stack([jnp.asarray(p) for _, p, _ in t.trajectory])
+            T_cr = t._traj_stack()
             refs = np.asarray([r for _, _, r in t.trajectory])
             refs_safe = np.maximum(refs, 0)
             culled_now = (refs >= 0) & (kf_map_np[refs_safe] < 0)
@@ -321,7 +323,11 @@ class System:
         """Per-frame entry (System::TrackMonocular, src/System.cc:307-361).
         image: (H, W) grayscale float or uint8."""
         self._pre_frame()
-        img = np.asarray(image, dtype=np.float32)
+        img = (
+            image
+            if getattr(image, "dtype", None) == np.uint8
+            else np.asarray(image, dtype=np.float32)
+        )
         return self.tracker.process_frame(img, timestamp)
 
     def track_rgbd(
@@ -331,7 +337,10 @@ class System:
         depth-based initialization + depth-backed new map points."""
         self._pre_frame()
         return self.tracker.process_frame(
-            np.asarray(image, np.float32), timestamp,
+            image
+            if getattr(image, "dtype", None) == np.uint8
+            else np.asarray(image, np.float32),
+            timestamp,
             depth=np.asarray(depth, np.float32),
         )
 

@@ -362,6 +362,21 @@ def _unpack_bits(packed: jnp.ndarray, m_size: int) -> jnp.ndarray:
     return w.reshape(m_size).astype(bool)
 
 
+def _mat(x):
+    """Materialize a lazy batched reference.
+
+    The fused N-frame scan returns STACKED per-frame outputs; slicing them
+    into per-frame arrays eagerly costs one tiny device program per field
+    per frame (~30+ programs/batch — measured ~3 ms each on the tunneled
+    platform, i.e. the entire batch budget). Pending records and trajectory
+    entries therefore hold ("sliced", stacked_pytree, i) references and
+    materialize only when actually consumed (keyframe creation, loss
+    rollback, trajectory export)."""
+    if isinstance(x, tuple) and len(x) == 3 and x[0] == "sliced":
+        return jax.tree.map(lambda a: a[x[2]], x[1])
+    return x
+
+
 def _track_step_impl(
     m: SlamMap,
     feats: FrameFeatures,
@@ -721,6 +736,25 @@ class TrackerOutput:
 class Tracker:
     """Monocular tracking session. Owns the map and per-frame state."""
 
+    # last_feats is lazily materialized from the fused scan's stacked output
+    # (the [-1] slice of every FrameFeatures field is ~8 device programs —
+    # only paid when a consumer actually leaves the batched fast path)
+    @property
+    def last_feats(self):
+        if self._last_feats_val is None and self._last_feats_batched is not None:
+            self._last_feats_val = jax.tree.map(
+                lambda a: a[-1], self._last_feats_batched
+            )
+            self._last_feats_batched = None
+        return self._last_feats_val
+
+    @last_feats.setter
+    def last_feats(self, v):
+        self._last_feats_val = v
+        self._last_feats_batched = None
+        self._carry_oct = None
+        self._carry_ang = None
+
     def __init__(self, cfg: SlamConfig, camera: Camera):
         self.cfg = cfg
         self.camera = camera
@@ -851,7 +885,14 @@ class Tracker:
         `image_right` enables the stereo path (rectified pair)."""
         self.frame_id += 1
         mono = depth is None and image_right is None
-        img_dev = jnp.asarray(image, jnp.float32)
+        # uint8 frames transfer 4x fewer bytes over the host->device link
+        # (the dominant per-frame stream on the tunneled platform); device
+        # compute casts to f32 at the head of the extract program
+        img_dev = (
+            jnp.asarray(image)
+            if getattr(image, "dtype", None) == np.uint8
+            else jnp.asarray(image, jnp.float32)
+        )
 
         # steady-state mono fast path: buffer the raw frame and track a whole
         # batch inside ONE device program (extraction fused into the tracking
@@ -1243,28 +1284,40 @@ class Tracker:
         vel = self.velocity if has_vel else self._eye4
         p = self.params.replace(local_th=jnp.asarray(1.0, jnp.float32))
         snapshot = (self.m.mp_visible, self.m.mp_found)
+        # the chained octave/angle come from the previous batch's carry when
+        # available — reading them off last_feats would materialize slices
+        loct = self._carry_oct if self._carry_oct is not None else self.last_feats.octave
+        lang = self._carry_ang if self._carry_ang is not None else self.last_feats.angle
         carry, outs = self._scan_fn(
-            self.m, imgs, self.last_obs, self.last_feats.octave,
-            self.last_feats.angle, jnp.asarray(has_vel), vel, self.last_Tcw,
+            self.m, imgs, self.last_obs, loct, lang,
+            jnp.asarray(has_vel), vel, self.last_Tcw,
             jnp.asarray(self.ref_kf, jnp.int32), self.K, self.scale_factors,
             self.inv_sigma2, p,
         )
-        mp_visible, mp_found, last_obs, _loct, _lang, _, vel_new, last_Tcw = carry
+        mp_visible, mp_found, last_obs, loct_n, lang_n, _, vel_new, last_Tcw = carry
         feats_s, Tcw_s, obs_s, T_cr_s, scalars_s, inc_s = outs
         self.m = self.m.replace(mp_visible=mp_visible, mp_found=mp_found)
         self.velocity = vel_new
         self.last_Tcw = last_Tcw
-        self.last_feats = jax.tree.map(lambda a: a[-1], feats_s)
         self.last_obs = last_obs
+        # lazy: stacked outputs are NOT sliced here (each slice is a device
+        # program — the storm of ~30 of them per batch used to cost more
+        # than the whole scan computation); consumers go through _mat()
+        self._last_feats_val = None
+        self._last_feats_batched = feats_s
+        self._carry_oct = loct_n
+        self._carry_ang = lang_n
         self._batch_counters = snapshot
         for i, rec in enumerate(recs):
             self._pending_frames.append(dict(
-                scalars=scalars_s[i],
-                feats=jax.tree.map(lambda a, i=i: a[i], feats_s),
-                Tcw=Tcw_s[i], cur_obs=obs_s[i], T_cr=T_cr_s[i],
+                scalars=("sliced", scalars_s, i),
+                feats=("sliced", feats_s, i),
+                Tcw=("sliced", Tcw_s, i),
+                cur_obs=("sliced", obs_s, i),
+                T_cr=("sliced", T_cr_s, i),
                 ts=rec["ts"], frame_id=rec["frame_id"], ref_kf=self.ref_kf,
                 recent_reloc=rec["recent_reloc"], depth=None,
-                inc_bits=(inc_s[0][i], inc_s[1][i]),
+                inc_bits=("sliced", inc_s, i),
             ))
         self._resolve_pending()
 
@@ -1289,8 +1342,27 @@ class Tracker:
         self._pending_frames = []
         batch_counters = self._batch_counters
         self._batch_counters = None
-        # one stacked fetch = one tunnel round trip for the whole batch
-        svecs = np.asarray(jnp.stack([r["scalars"] for r in recs]))
+        # one fetch per distinct stacked parent (= per scan batch) — a scan
+        # batch's scalars arrive already stacked; per-frame records (depth/
+        # stereo pipelined mode) are stacked here into one extra fetch
+        svecs: list = [None] * len(recs)
+        plain_j, plain_v = [], []
+        parents: dict = {}
+        for j, r in enumerate(recs):
+            s = r["scalars"]
+            if isinstance(s, tuple) and s[0] == "sliced":
+                parents.setdefault(id(s[1]), (s[1], []))[1].append((j, s[2]))
+            else:
+                plain_j.append(j)
+                plain_v.append(s)
+        if plain_v:
+            arr = np.asarray(jnp.stack(plain_v))
+            for j, v in zip(plain_j, arr):
+                svecs[j] = v
+        for arr, items in parents.values():
+            a = np.asarray(arr)
+            for j, i in items:
+                svecs[j] = a[i]
         cfg = self.cfg
         last_created_fid = None
         for i, (rec, s) in enumerate(zip(recs, svecs)):
@@ -1313,8 +1385,9 @@ class Tracker:
                 # reference never updates stats from lost frames)
                 if batch_counters is not None:
                     snap_v, snap_f = batch_counters
-                    inc_v = jnp.stack([r["inc_bits"][0] for r in recs])
-                    inc_f = jnp.stack([r["inc_bits"][1] for r in recs])
+                    incs = [_mat(r["inc_bits"]) for r in recs]
+                    inc_v = jnp.stack([b[0] for b in incs])
+                    inc_f = jnp.stack([b[1] for b in incs])
                     new_v, new_f = _counters_at(
                         snap_v, snap_f, inc_v, inc_f, jnp.asarray(i + 1)
                     )
@@ -1341,7 +1414,8 @@ class Tracker:
                 n_i2, int(s[S_N_REF]), n_kf_valid, frame_id=rec["frame_id"]
             ):
                 self._create_keyframe(
-                    rec["feats"], rec["Tcw"], rec["cur_obs"], rec["ts"],
+                    _mat(rec["feats"]), _mat(rec["Tcw"]),
+                    _mat(rec["cur_obs"]), rec["ts"],
                     frame_id=rec["frame_id"], depth=rec["depth"],
                 )
                 created = True
@@ -1350,6 +1424,28 @@ class Tracker:
                 self.trajectory.append((rec["ts"], self._eye4, self.ref_kf))
             else:
                 self.trajectory.append((rec["ts"], rec["T_cr"], rec["ref_kf"]))
+
+    def _traj_stack(self) -> jnp.ndarray:
+        """(F, 4, 4) stacked trajectory relatives. Lazy entries from scan
+        batches are resolved with ONE gather per source batch instead of a
+        slice program per entry."""
+        F = len(self.trajectory)
+        out = jnp.zeros((F, 4, 4))
+        eager_j, eager_m = [], []
+        groups: dict = {}
+        for j, (_, p, _) in enumerate(self.trajectory):
+            if isinstance(p, tuple) and p[0] == "sliced":
+                g = groups.setdefault(id(p[1]), (p[1], [], []))
+                g[1].append(j)
+                g[2].append(p[2])
+            else:
+                eager_j.append(j)
+                eager_m.append(jnp.asarray(p))
+        if eager_m:
+            out = out.at[jnp.asarray(eager_j)].set(jnp.stack(eager_m))
+        for arr, js, srcs in groups.values():
+            out = out.at[jnp.asarray(js)].set(arr[jnp.asarray(srcs)])
+        return out
 
     def _maybe_auto_reset(self, n_kf_valid: int):
         """Reset the whole session when tracking is lost soon after
@@ -1369,7 +1465,7 @@ class Tracker:
         # every entry to an absolute pose (ref=-1) before the poses vanish,
         # exactly like compaction does for culled anchors
         if self.trajectory:
-            T_cr = jnp.stack([jnp.asarray(p) for _, p, _ in self.trajectory])
+            T_cr = self._traj_stack()
             refs = jnp.asarray(
                 [r for _, _, r in self.trajectory], jnp.int32
             )
@@ -1670,7 +1766,7 @@ class Tracker:
         if not self.trajectory:
             return np.zeros(0), np.zeros((0, 4, 4))
         ts = np.asarray([t for t, _, _ in self.trajectory])
-        T_cr = jnp.stack([jnp.asarray(p) for _, p, _ in self.trajectory])
+        T_cr = self._traj_stack()
         refs = jnp.asarray([r for _, _, r in self.trajectory], jnp.int32)
         # ref == -1: the entry was baked to an absolute pose (its anchor
         # keyframe was dropped by map compaction)
