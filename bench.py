@@ -25,9 +25,11 @@ import numpy as np
 # (PLATFORM.md §2b): the per-frame-path compiles, the fused N-frame scan
 # (engages at pipeline_warmup_kfs keyframes ~frame 52; ~30 s compile), the
 # first keyframe created in scan mode (~3.6 s of fresh programs), and the
-# nKF=16 vocabulary retrain. Compiles are one-time costs; the persistent
-# compile cache below also carries them across runs.
-WARMUP_FRAMES = 100
+# nKF=16 vocabulary retrain (~frame 130). Warmup therefore runs until the
+# map holds 17 keyframes (capped); compiles are one-time session costs and
+# the persistent compile cache below also carries them across runs.
+MIN_WARMUP_FRAMES = 64
+MAX_WARMUP_FRAMES = 240
 TIMED_FRAMES = 100
 
 
@@ -65,9 +67,13 @@ def main():
     )
     cam = Camera.create(fx, fy, cx, cy, width=W, height=H)
 
-    n_frames = WARMUP_FRAMES + TIMED_FRAMES
+    n_frames = MAX_WARMUP_FRAMES + TIMED_FRAMES
+    # motion_frames pins the per-frame motion (and keyframe cadence) to the
+    # historical 164-frame pace regardless of how much warmup runway the
+    # sequence carries
     seq = make_synthetic_sequence(
-        n_frames=n_frames, h=H, w=W, seed=0, motion="orbit", K=K
+        n_frames=n_frames, h=H, w=W, seed=0, motion="orbit", K=K,
+        motion_frames=164,
     )
     # 8-bit frames, as a camera delivers them: 0.3 MB/frame over the tunnel
     # instead of 1.2 MB (the transfer is a first-order per-frame cost)
@@ -82,14 +88,20 @@ def main():
     # frame, so steady-state timing is honest regardless.
     np.asarray(jnp.zeros(1))[0]
 
-    # warmup: covers the init path, the fused track step, and at least one
-    # keyframe insertion + mapping pass (all jit compiles happen here)
-    for i in range(WARMUP_FRAMES):
-        sys_.track_monocular(images[i], stamps[i])
+    # warmup: runs until every one-time session event has happened — the
+    # fused-scan compile (engages at 8 keyframes), the first in-scan
+    # keyframe's programs, and the nKF=16 vocabulary retrain — so the timed
+    # window measures pure steady state (PLATFORM.md §2b)
+    warm = 0
+    while warm < MAX_WARMUP_FRAMES and not (
+        warm >= MIN_WARMUP_FRAMES and sys_.tracker.n_kf_host >= 17
+    ):
+        sys_.track_monocular(images[warm], stamps[warm])
+        warm += 1
 
     t0 = time.perf_counter()
     n_ok = 0
-    for i in range(WARMUP_FRAMES, n_frames):
+    for i in range(warm, warm + TIMED_FRAMES):
         out = sys_.track_monocular(images[i], stamps[i])
         n_ok += out.state == "OK"
     dt = time.perf_counter() - t0

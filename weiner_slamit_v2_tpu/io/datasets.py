@@ -313,6 +313,118 @@ def _bilinear_sample(img: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarra
     return np.where(inside, out, 0.0).astype(np.float32)
 
 
+@dataclass
+class MultiPlaneWorld:
+    """A 2.5D scene: several textured fronto-parallel planes at different
+    depths that OCCLUDE each other, rendered by ray casting (nearest hit
+    wins). Unlike :class:`SyntheticWorld`'s single plane, this world has
+    depth discontinuities, occlusion boundaries, and (via
+    ``photometric_noise``) per-frame gain/bias drift + sensor noise — the
+    "harder battery" used by the BASELINE measurement runs. Ground truth
+    remains exact, and a depth map / stereo right view can be rendered for
+    the RGB-D and stereo pipelines."""
+
+    textures: list            # np.ndarray per plane
+    K: np.ndarray
+    depths: list              # plane z (world), ascending = near to far
+    centers: list             # (x, y) world center per plane
+    extents: list             # (half_x, half_y) meters per plane; None = inf
+    pixels_per_meter: list
+
+    def render(
+        self,
+        Tcw: np.ndarray,
+        h: int,
+        w: int,
+        gain: float = 1.0,
+        bias: float = 0.0,
+        noise_rng: np.random.Generator | None = None,
+        noise_std: float = 0.0,
+        with_depth: bool = False,
+    ):
+        K = self.K
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        us, vs = np.meshgrid(
+            np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32)
+        )
+        ray = np.stack(
+            [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us)], axis=-1
+        )
+        R = Tcw[:3, :3].astype(np.float32)
+        t = Tcw[:3, 3].astype(np.float32)
+        Rt = R.T
+        C = -Rt @ t
+        ray_w = ray @ Rt.T
+        best_lam = np.full((h, w), np.inf, np.float32)
+        img = np.zeros((h, w), np.float32)
+        for tex, d, ctr, ext, ppm in zip(
+            self.textures, self.depths, self.centers, self.extents,
+            self.pixels_per_meter,
+        ):
+            lam = (d - C[2]) / np.where(
+                np.abs(ray_w[..., 2]) > 1e-6, ray_w[..., 2], 1e-6
+            )
+            Xw = C[None, None, :] + lam[..., None] * ray_w
+            th, tw = tex.shape
+            tu = (Xw[..., 0] - ctr[0]) * ppm + tw / 2.0
+            tv = (Xw[..., 1] - ctr[1]) * ppm + th / 2.0
+            hit = (lam > 0.05) & (lam < best_lam)
+            if ext is not None:
+                hit &= (np.abs(Xw[..., 0] - ctr[0]) <= ext[0]) & (
+                    np.abs(Xw[..., 1] - ctr[1]) <= ext[1]
+                )
+            val = _bilinear_sample(tex, tu, tv)
+            img = np.where(hit, val, img)
+            best_lam = np.where(hit, lam, best_lam)
+        img = np.clip(img * gain + bias, 0.0, 255.0)
+        if noise_std > 0.0 and noise_rng is not None:
+            img = np.clip(
+                img + noise_rng.normal(0, noise_std, img.shape), 0.0, 255.0
+            ).astype(np.float32)
+        img = img.astype(np.float32)
+        if not with_depth:
+            return img
+        # camera-frame depth of the hit (z of R X + t); inf -> 0 (no return)
+        lamf = np.where(np.isfinite(best_lam), best_lam, 0.0)
+        Xw = C[None, None, :] + lamf[..., None] * ray_w
+        z = (Xw @ R.T)[..., 2] + t[2]
+        depth = np.where(np.isfinite(best_lam), z, 0.0).astype(np.float32)
+        return img, depth
+
+
+def _make_multiplane_world(
+    h: int, w: int, K: np.ndarray, rng: np.random.Generator
+) -> MultiPlaneWorld:
+    """Default hard battery scene: one big far wall + 4 occluding
+    mid/foreground slabs at staggered depths."""
+    fx = float(K[0, 0])
+    planes = [
+        # (depth, center, extent) — background wall has no extent bound
+        (6.0, (0.0, 0.0), None),
+        (4.2, (-0.9, -0.6), (1.1, 0.9)),
+        (3.6, (1.0, 0.5), (1.0, 0.8)),
+        (3.0, (0.1, 0.9), (0.9, 0.55)),
+        (2.6, (-0.4, 0.45), (0.55, 0.45)),
+    ]
+    textures, depths, centers, extents, ppms = [], [], [], [], []
+    for d, ctr, ext in planes:
+        ppm = fx / d
+        if ext is None:
+            th, tw = int(h * 3.0), int(w * 3.0)
+        else:
+            th = min(int(2 * ext[1] * ppm) + 8, int(h * 3))
+            tw = min(int(2 * ext[0] * ppm) + 8, int(w * 3))
+        textures.append(_perlin_texture(th, tw, rng))
+        depths.append(d)
+        centers.append(np.asarray(ctr, np.float32))
+        extents.append(ext)
+        ppms.append(ppm)
+    return MultiPlaneWorld(
+        textures=textures, K=K, depths=depths, centers=centers,
+        extents=extents, pixels_per_meter=ppms,
+    )
+
+
 def make_synthetic_sequence(
     n_frames: int = 30,
     h: int = 480,
@@ -321,36 +433,69 @@ def make_synthetic_sequence(
     K: np.ndarray | None = None,
     motion: str = "strafe",
     plane_depth: float = 4.0,
+    world: str = "plane",
+    photometric_noise: float = 0.0,
+    with_depth: bool = False,
+    stereo_baseline: float | None = None,
+    motion_frames: int | None = None,
 ) -> Sequence:
     """Deterministic synthetic monocular sequence with exact ground truth.
 
     motion: "strafe" (sideways translation — good parallax for mono init),
-    "orbit" (translation + small rotations), "forward".
+    "orbit" (translation + small rotations), "forward", "loop" (out-and-back
+    circuit that revisits the start frustum — exercises loop closing).
+
+    world: "plane" (single textured plane, exact homography rendering, no
+    occlusion — determinism workhorse) or "multi" (multi-plane occluding
+    scene — the harder battery for BASELINE accuracy runs).
+    photometric_noise: pixel-noise std in [0,255] units; also enables a
+    slow per-frame gain/bias drift (±5% gain, ±4 gray-level bias).
+    with_depth: attach exact depth maps (RGB-D pipeline); "multi" world only.
+    stereo_baseline: render a rectified right view at this baseline (m).
+    motion_frames: normalize the motion parameter by this frame count
+    instead of n_frames — keeps PER-FRAME motion (and hence keyframe
+    cadence) constant when generating longer sequences (a > 1 continues
+    the periodic path).
     """
     rng = np.random.default_rng(seed)
     if K is None:
         K = np.array([[500.0, 0, w / 2 - 0.5], [0, 500.0, h / 2 - 0.5], [0, 0, 1]], dtype=np.float32)
-    # texture covers more than the view so motion never leaves it; texture
-    # resolution matches the view at the start pose (ppm = fx / depth)
-    world = SyntheticWorld(
-        texture=_perlin_texture(int(h * 2.5), int(w * 2.5), rng),
-        K=K,
-        plane_depth=plane_depth,
-        pixels_per_meter=float(K[0, 0]) / plane_depth,
-    )
+    if world == "multi":
+        scene = _make_multiplane_world(h, w, K, rng)
+    else:
+        # texture covers more than the view so motion never leaves it;
+        # texture resolution matches the view at the start (ppm = fx/depth)
+        scene = SyntheticWorld(
+            texture=_perlin_texture(int(h * 2.5), int(w * 2.5), rng),
+            K=K,
+            plane_depth=plane_depth,
+            pixels_per_meter=float(K[0, 0]) / plane_depth,
+        )
     from ..geometry import se3
     import jax.numpy as jnp
 
+    noise_rng = np.random.default_rng(seed + 77)
     frames = []
     gt = np.zeros((n_frames, 4, 4))
+    denom = max((motion_frames or n_frames) - 1, 1)
     for i in range(n_frames):
-        a = i / max(n_frames - 1, 1)
+        a = i / denom
         if motion == "strafe":
             twc = np.array([0.8 * a, 0.15 * np.sin(2 * np.pi * a), 0.0])
             rot = np.array([0.0, 0.0, 0.0])
         elif motion == "orbit":
             twc = np.array([0.6 * np.sin(np.pi * a), 0.1 * a, 0.2 * (1 - np.cos(np.pi * a))])
             rot = np.array([0.02 * np.sin(2 * np.pi * a), -0.08 * np.sin(np.pi * a), 0.01 * a])
+        elif motion == "loop":
+            # out-and-back circuit: an ellipse in (x, z) returning exactly to
+            # the start pose so the final frames revisit the first keyframes'
+            # frustum (loop-closure trigger); mild yaw along the path
+            twc = np.array([
+                0.9 * np.sin(2 * np.pi * a),
+                0.08 * np.sin(4 * np.pi * a),
+                0.35 * (1 - np.cos(2 * np.pi * a)),
+            ])
+            rot = np.array([0.0, -0.12 * np.sin(2 * np.pi * a), 0.0])
         else:  # forward
             twc = np.array([0.05 * np.sin(2 * np.pi * a), 0.0, 0.9 * a])
             rot = np.array([0.0, 0.0, 0.0])
@@ -360,6 +505,42 @@ def make_synthetic_sequence(
         Twc[:3, 3] = twc
         gt[i] = Twc
         Tcw = np.linalg.inv(Twc)
-        img = world.render(Tcw, h, w)
-        frames.append(FrameData(timestamp=i / 30.0, image=img))
+        if photometric_noise > 0.0:
+            gain = 1.0 + 0.05 * np.sin(2 * np.pi * 1.7 * a)
+            bias = 4.0 * np.sin(2 * np.pi * 0.9 * a + 1.0)
+            noise_std = photometric_noise
+        else:
+            gain, bias, noise_std = 1.0, 0.0, 0.0
+        depth = None
+        img_right = None
+        if isinstance(scene, MultiPlaneWorld):
+            out = scene.render(
+                Tcw, h, w, gain=gain, bias=bias, noise_rng=noise_rng,
+                noise_std=noise_std, with_depth=with_depth,
+            )
+            img, depth = out if with_depth else (out, None)
+            if stereo_baseline is not None:
+                # right camera: X_r = X_l - (b, 0, 0) in the left cam frame
+                T_rl = np.eye(4)
+                T_rl[0, 3] = -stereo_baseline
+                img_right = scene.render(
+                    T_rl @ Tcw, h, w, gain=gain, bias=bias,
+                    noise_rng=noise_rng, noise_std=noise_std,
+                )
+        else:
+            img = scene.render(Tcw, h, w)
+            if photometric_noise > 0.0:
+                img = np.clip(
+                    img * gain + bias
+                    + noise_rng.normal(0, noise_std, img.shape),
+                    0.0, 255.0,
+                ).astype(np.float32)
+            if stereo_baseline is not None:
+                T_rl = np.eye(4)
+                T_rl[0, 3] = -stereo_baseline
+                img_right = scene.render(T_rl @ Tcw, h, w)
+        frames.append(FrameData(
+            timestamp=i / 30.0, image=img, depth=depth,
+            image_right=img_right,
+        ))
     return Sequence(frames=frames, gt_Twc=gt)

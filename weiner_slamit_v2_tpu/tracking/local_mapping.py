@@ -412,10 +412,17 @@ def fuse_in_neighbors(
     rebuild the observation lists.
 
     The reference walks the targets sequentially with in-order duplicate
-    resolution; the scan here preserves that order, but its carry is only
-    the five arrays a fuse actually mutates (kf_obs, mp_valid and the three
-    counters, ~1.3 MB) instead of the whole map pytree (~25 MB) — the old
-    full-pytree carry made XLA rewrite every map plane 32x per pass.
+    resolution. Here the EXPENSIVE half — projecting kf1's points into every
+    target and window-matching descriptors (_fuse_match_in_kf) — depends
+    only on pre-pass state (poses, positions, descriptors and feature
+    planes are immutable during the pass), so it runs as ONE vmapped batch
+    over all targets; the scan then only applies the cheap mutations
+    (add/merge scatters) in covisibility order, carrying a cumulative
+    Replace map so later targets see earlier merges. This removed ~32
+    serial match programs (~3 ms each) from the mapping pass's critical
+    path. Validity of a fused point is re-checked against the carried
+    mp_valid at apply time, so a point merged away by an earlier target
+    never fuses under its dead id.
     """
     inv_s2 = 1.0 / sigma2
     W = covisibility_matrix(m)
@@ -447,27 +454,38 @@ def fuse_in_neighbors(
     Mx = m.max_mp
     Nf = m.n_feat
 
-    def step(carry, tv):
-        kf_obs_c, mp_valid_c, n_obs_c, found_c, visible_c = carry
-        dst, ok_t = tv
-        mc = m.replace(
-            kf_obs=kf_obs_c, mp_valid=mp_valid_c, mp_n_obs=n_obs_c,
-            mp_found=found_c, mp_visible=visible_c,
-        )
-        pid = jnp.maximum(kf_obs_c[kf1], 0)
-        p_has = (kf_obs_c[kf1] >= 0) & m.kf_feat_valid[kf1]
-        # dedup: earlier merges can leave two kf1 features referencing the
-        # same point; fuse each point once (the reference passes a unique
-        # MapPoint set — src/LocalMapping.cc:561)
-        first = jnp.full(Mx + 1, Nf, jnp.int32).at[
-            jnp.where(p_has, pid, Mx)
-        ].min(jnp.arange(Nf, dtype=jnp.int32), mode="drop")
-        p_has = p_has & (first[pid] == jnp.arange(Nf))
-        ok, f = _fuse_match_in_kf(
-            mc, pid, p_has, dst, K, scale_factors, inv_s2, cfg,
+    # candidate set from the PRE-pass kf1 row, fused once per point
+    # (the reference passes a unique MapPoint set — src/LocalMapping.cc:561)
+    pid0 = jnp.maximum(m.kf_obs[kf1], 0)
+    p_has0 = (m.kf_obs[kf1] >= 0) & m.kf_feat_valid[kf1]
+    first0 = jnp.full(Mx + 1, Nf, jnp.int32).at[
+        jnp.where(p_has0, pid0, Mx)
+    ].min(jnp.arange(Nf, dtype=jnp.int32), mode="drop")
+    p_has0 = p_has0 & (first0[pid0] == jnp.arange(Nf))
+
+    # one batched match over ALL targets (the hot half of the pass)
+    ok_s, f_s = jax.vmap(
+        lambda dst: _fuse_match_in_kf(
+            m, pid0, p_has0, dst, K, scale_factors, inv_s2, cfg,
             window_mult=3.0,
         )
-        ok = ok & ok_t
+    )(targets)
+
+    def step(carry, tv):
+        kf_obs_c, mp_valid_c, n_obs_c, found_c, visible_c, r_cum = carry
+        dst, ok_t, ok_m, f = tv
+        # remap the precomputed candidate ids through earlier merges and
+        # re-check liveness under the carried validity plane
+        pid = r_cum[pid0]
+        # dedup after remapping (two kf1 features may now share a winner)
+        first = jnp.full(Mx + 1, Nf, jnp.int32).at[
+            jnp.where(p_has0, pid, Mx)
+        ].min(jnp.arange(Nf, dtype=jnp.int32), mode="drop")
+        ok = (
+            ok_m & ok_t & p_has0
+            & mp_valid_c[pid]
+            & (first[pid] == jnp.arange(Nf))
+        )
         q = kf_obs_c[dst, f]
 
         # add observations on free features
@@ -498,10 +516,15 @@ def fuse_in_neighbors(
         found_c = found_c.at[lw].add(jnp.where(merge, found_c[loser], 0), mode="drop")
         visible_c = visible_c.at[lw].add(jnp.where(merge, visible_c[loser], 0), mode="drop")
         n_obs_c = n_obs_c.at[lw].add(jnp.where(merge, n_obs_c[loser], 0), mode="drop")
-        return (kf_obs_c, mp_valid_c, n_obs_c, found_c, visible_c), None
+        # fold this step's Replace map into the cumulative one
+        r_cum = r[r_cum]
+        return (kf_obs_c, mp_valid_c, n_obs_c, found_c, visible_c, r_cum), None
 
-    carry0 = (m.kf_obs, m.mp_valid, m.mp_n_obs, m.mp_found, m.mp_visible)
-    carry, _ = jax.lax.scan(step, carry0, (targets, t_ok))
+    carry0 = (
+        m.kf_obs, m.mp_valid, m.mp_n_obs, m.mp_found, m.mp_visible,
+        jnp.arange(Mx, dtype=jnp.int32),
+    )
+    carry, _ = jax.lax.scan(step, carry0, (targets, t_ok, ok_s, f_s))
     m = m.replace(
         kf_obs=carry[0], mp_valid=carry[1], mp_n_obs=carry[2],
         mp_found=carry[3], mp_visible=carry[4],
@@ -593,12 +616,20 @@ def cull_keyframes(m: SlamMap, center_kf, cfg: SlamConfig) -> SlamMap:
         n_pts = jnp.maximum(has.sum(), 1)
         return redundant.sum() / n_pts, has.sum()
 
-    ratios, counts = jax.vmap(redundancy_of_kf)(jnp.arange(K_))
+    # only the center's covisible keyframes are cull candidates
+    # (LocalMapping.cc:689 iterates GetVectorCovisibleKeyFrames) — evaluate
+    # redundancy for the top-C of them instead of vmapping all kf slots
+    # (8x less gather work on a 256-slot pool)
+    C_CAND = min(32, K_)
+    cand_w = jnp.where(
+        covis & m.kf_valid
+        & (jnp.arange(K_) != 0) & (jnp.arange(K_) != center_kf),
+        W[center_kf], 0,
+    )
+    cw, cand_idx = jax.lax.top_k(cand_w, C_CAND)
+    ratios, counts = jax.vmap(redundancy_of_kf)(cand_idx)
     cullable = (
-        m.kf_valid
-        & covis
-        & (jnp.arange(K_) != 0)
-        & (jnp.arange(K_) != center_kf)
+        (cw > 0)
         & (ratios > cfg.mapping.kf_culling_redundancy)
         & (counts > 0)
     )
@@ -606,18 +637,38 @@ def cull_keyframes(m: SlamMap, center_kf, cfg: SlamConfig) -> SlamMap:
     # iterating; one-at-a-time keeps covisibility consistent)
     first = jnp.argmax(cullable)
     do_cull = cullable[first]
-    return invalidate_keyframe(m, jnp.where(do_cull, first, -1), rebuild=False)
+    victim = jnp.where(do_cull, cand_idx[first], -1)
+    return invalidate_keyframe(m, victim, rebuild=False)
 
 
 def invalidate_keyframe(m: SlamMap, kf_id, rebuild: bool = True) -> SlamMap:
     """Remove a keyframe (KeyFrame::SetBadFlag, src/KeyFrame.cc:460-552).
-    kf_id = -1 is a no-op. Children re-parent to this keyframe's parent
-    (simplified from the reference's max-covis re-parenting)."""
+    kf_id = -1 is a no-op.
+
+    Children re-parent by MAX COVISIBILITY among the candidate set — the
+    culled keyframe's parent plus its other children (the reference grows
+    the candidate set greedily as children are adopted,
+    KeyFrame.cc:478-540); here a child may adopt a lower-id sibling (or the
+    grandparent), which keeps the forest acyclic in one vectorized pass and
+    picks the same winner in the common case of one dominant sibling."""
     do = kf_id >= 0
     k = jnp.maximum(kf_id, 0)
     kf_valid = m.kf_valid.at[k].set(jnp.where(do, False, m.kf_valid[k]))
     parent = m.kf_parent[k]
-    new_parent = jnp.where(m.kf_parent == k, parent, m.kf_parent)
+    children = (m.kf_parent == k) & m.kf_valid & do
+    ids = jnp.arange(m.max_kf)
+    W = covisibility_matrix(m)
+    # candidate siblings: other children of k with SMALLER id (acyclic)
+    cand = children[None, :] & (ids[None, :] < ids[:, None])
+    w_sib = jnp.where(cand, W, -1)
+    best_sib = jnp.argmax(w_sib, axis=1).astype(jnp.int32)
+    best_w = jnp.max(w_sib, axis=1)
+    w_par = jnp.where(
+        (parent >= 0) & m.kf_valid[jnp.maximum(parent, 0)],
+        W[:, jnp.maximum(parent, 0)], 0,
+    )
+    adopt = jnp.where(best_w > w_par, best_sib, parent)
+    new_parent = jnp.where(children, adopt, m.kf_parent)
     kf_obs = m.kf_obs.at[k].set(
         jnp.where(do, jnp.full((m.n_feat,), -1, jnp.int32), m.kf_obs[k])
     )
