@@ -207,3 +207,51 @@ class TestCheckpoint:
         assert out.n_inliers > 20
         # the culled keyframe was never offered as a candidate
         assert not bool(sys2.tracker.m.kf_valid[last_kf])
+
+
+class TestStereoKeyframeGate:
+    """Stereo NeedNewKeyFrame parity (Tracking.cc:1264-1283): the c1c
+    close-point gate + the 0.75 stereo ref-ratio + the bootstrap escape for
+    the depth-init state (n_ref == 0) must let a stereo session grow its
+    map past the initial keyframe."""
+
+    def test_stereo_session_inserts_keyframes(self):
+        baseline = 0.2
+        cfg = small_config(
+            baseline_times_fx=baseline * FX, depth_threshold=8.0,
+        ).replace(sensor="stereo")
+        seq = make_synthetic_sequence(
+            n_frames=24, h=H, w=W, seed=31, motion="orbit", K=K,
+            world="multi", stereo_baseline=baseline,
+        )
+        sys_ = System(cfg, Camera.create(FX, FX, 159.5, 119.5, width=W, height=H))
+        for i, f in enumerate(seq.frames):
+            sys_.track_stereo(f.image, f.image_right, i / 30.0)
+        sys_.finish()
+        assert sys_.tracker.state == "OK"
+        assert sys_.n_keyframes() >= 2, (
+            "stereo session never left the depth-init single-keyframe state"
+        )
+        assert sys_.n_map_points() > 100
+
+    def test_close_point_gate_forces_insert(self):
+        """need_close (tracked close < 100, untracked close > 70) must
+        force c2/c1c even when the inlier ratio is healthy."""
+        cfg = small_config(
+            baseline_times_fx=0.2 * FX, depth_threshold=8.0,
+        ).replace(sensor="stereo")
+        sys_ = System(cfg, Camera.create(FX, FX, 159.5, 119.5, width=W, height=H))
+        t = sys_.tracker
+        t.n_kf_host = 3
+        t.state = "OK"
+        t.m = t.m.replace(kf_valid=t.m.kf_valid.at[0].set(True))
+        t.last_kf_frame = 0
+        t.frame_id = 5
+        # healthy ratio (inliers == n_ref) but close-starved frame
+        assert t._need_new_keyframe(
+            120, 120, 3, n_close_tracked=40, n_close_untracked=90
+        )
+        # same frame without close starvation: no insert
+        assert not t._need_new_keyframe(
+            120, 120, 3, n_close_tracked=300, n_close_untracked=10
+        )

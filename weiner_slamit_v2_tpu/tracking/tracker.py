@@ -345,7 +345,9 @@ S_N_INL2 = 3
 S_OK1 = 4
 S_N_REF = 5
 S_N_KF = 6
-N_SCALARS = 7
+S_N_CLOSE_T = 7
+S_N_CLOSE_U = 8
+N_SCALARS = 9
 
 
 def _pack_bits(mask: jnp.ndarray) -> jnp.ndarray:
@@ -399,12 +401,17 @@ def _track_step_impl(
     histo_bins: int,
     ur: jnp.ndarray | None = None,
     bf: jnp.ndarray | float = 0.0,
+    depth: jnp.ndarray | None = None,
+    depth_threshold: jnp.ndarray | float = 0.0,
 ):
     """One fused tracking step (Tracking::Track, src/Tracking.cc:385-694,
     OK-state branch). Returns (map-with-updated-counters, Tcw, cur_obs,
     new velocity, packed scalars) — the scalars are the only thing the host
     needs to read back. ur (N,): the frame's stereo right-u per feature
-    (-1 = mono), adding the 3-dof stereo rows to both pose optimizations."""
+    (-1 = mono), adding the 3-dof stereo rows to both pose optimizations.
+    depth (N,): per-feature stereo/RGB-D depth, feeding the close-point
+    counts of the reference's stereo keyframe gate c1c
+    (Tracking.cc:1264-1283)."""
     Tcw_pred = jnp.where(has_velocity, velocity @ last_Tcw, last_Tcw)
 
     # stereo forward/backward motion classification (ORBmatcher.cc:1352-1360):
@@ -489,6 +496,17 @@ def _track_step_impl(
     rhas = (robs >= 0) & m.kf_feat_valid[ref_kf] & m.mp_valid[rmp]
     n_ref = jnp.sum(rhas & (m.mp_n_obs[rmp] >= min_obs)).astype(jnp.int32)
 
+    # stereo close-point statistics for NeedNewKeyFrame's c1c
+    # (Tracking.cc:1264-1273: tracked/untracked points with depth inside
+    # ThDepth) — zeros on the mono path
+    if depth is not None:
+        close = feats.valid & (depth > 0) & (depth < depth_threshold)
+        n_close_t = jnp.sum(close & (obs_f >= 0)).astype(jnp.int32)
+        n_close_u = jnp.sum(close & (obs_f < 0)).astype(jnp.int32)
+    else:
+        n_close_t = jnp.asarray(0, jnp.int32)
+        n_close_u = jnp.asarray(0, jnp.int32)
+
     vel_new = Tcw2 @ se3.inv(last_Tcw)
     # keyframe-relative trajectory entry (src/Tracking.cc:666-694) computed
     # in-program: the eager per-frame composition was 3 extra dispatches
@@ -503,6 +521,8 @@ def _track_step_impl(
             ok1.astype(jnp.int32),
             n_ref,
             n_kf_valid,
+            n_close_t,
+            n_close_u,
         ]
     )
     return m2, Tcw2, obs_f, vel_new, T_cr, scalars, (inc_vis, inc_found)
@@ -1131,6 +1151,10 @@ class Tracker:
             histo_bins=cfg.matcher.histo_length,
             ur=self._cur_ur,
             bf=jnp.asarray(cfg.camera.baseline_times_fx, jnp.float32),
+            depth=self._cur_depth,
+            depth_threshold=jnp.asarray(
+                cfg.camera.depth_threshold, jnp.float32
+            ),
         )
 
         if (
@@ -1193,7 +1217,11 @@ class Tracker:
         self.last_obs = cur_obs
 
         created = False
-        if self._need_new_keyframe(n_i2, int(s[S_N_REF]), n_kf_valid, frame_id=fid):
+        if self._need_new_keyframe(
+            n_i2, int(s[S_N_REF]), n_kf_valid, frame_id=fid,
+            n_close_tracked=int(s[S_N_CLOSE_T]),
+            n_close_untracked=int(s[S_N_CLOSE_U]),
+        ):
             self._create_keyframe(feats, Tcw, cur_obs, ts, frame_id=fid)
             created = True
 
@@ -1411,7 +1439,9 @@ class Tracker:
                 + max(cfg.tracking.min_frames_between_kf, 1)
             )
             if gate_ok and self._need_new_keyframe(
-                n_i2, int(s[S_N_REF]), n_kf_valid, frame_id=rec["frame_id"]
+                n_i2, int(s[S_N_REF]), n_kf_valid, frame_id=rec["frame_id"],
+                n_close_tracked=int(s[S_N_CLOSE_T]),
+                n_close_untracked=int(s[S_N_CLOSE_U]),
             ):
                 self._create_keyframe(
                     _mat(rec["feats"]), _mat(rec["Tcw"]),
@@ -1541,12 +1571,17 @@ class Tracker:
     def _need_new_keyframe(
         self, n_inliers: int, n_ref: int, n_kf_valid: int,
         frame_id: int | None = None,
+        n_close_tracked: int = 0, n_close_untracked: int = 0,
     ) -> bool:
-        """NeedNewKeyFrame (src/Tracking.cc:1210-1310), monocular branch,
-        evaluated from the fused step's device-computed statistics.
+        """NeedNewKeyFrame (src/Tracking.cc:1210-1310), evaluated from the
+        fused step's device-computed statistics.
         Localization-only mode never inserts (Tracking.cc:1213).
         frame_id: the frame being decided (defaults to the current frame;
-        pipelined resolution passes the recorded one)."""
+        pipelined resolution passes the recorded one).
+        n_close_tracked/untracked: stereo/RGB-D close-point counts feeding
+        c1c (Tracking.cc:1264-1283) — a frame seeing few tracked close
+        points but many untracked ones must insert even when the inlier
+        ratio looks healthy (the reference's stereo map-density gate)."""
         cfg = self.cfg
         fid = self.frame_id if frame_id is None else frame_id
         if not self.allow_keyframes:
@@ -1560,21 +1595,41 @@ class Tracker:
             and n_kf_valid > cfg.tracking.max_frames_between_kf
         ):
             return False
-        c2 = (n_inliers < n_ref * cfg.tracking.keyframe_min_ratio) and n_inliers > 15
+        mono = cfg.sensor == "monocular"
+        # Tracking.cc:1270-1273: bNeedToInsertClose
+        need_close = (not mono) and (
+            n_close_tracked < 100 and n_close_untracked > 70
+        )
+        # thRefRatio: 0.75 stereo/RGB-D, 0.9 mono (Tracking.cc:1276-1281)
+        th_ref = cfg.tracking.keyframe_min_ratio if mono else 0.75
+        c2 = (
+            (n_inliers < n_ref * th_ref) or need_close
+        ) and n_inliers > 15
+        # bootstrap escape: right after depth initialization the single
+        # keyframe's points all have ONE observation, so n_ref
+        # (TrackedMapPoints(minObs>=2)) is 0 and `inliers < 0`
+        # can never hold — accept on raw inliers until the reference
+        # keyframe has multi-observed points (deviation from the reference,
+        # which leaves this state via its always-running mapper)
+        if n_ref == 0:
+            c2 = n_inliers > 15
         if not c2:
             return False
         c1a = fid >= self.last_kf_frame + cfg.tracking.max_frames_between_kf
         idle = self.mapper_idle_hook() if self.mapper_idle_hook else True
         # c1b requires the local mapper to be idle (Tracking.cc:1267); c1a
-        # forces insertion, draining the pipeline first (the InterruptBA +
-        # queue-drain analogue, Tracking.cc:1287-1303)
+        # and c1c force insertion, draining the pipeline first (the
+        # InterruptBA + queue-drain analogue, Tracking.cc:1287-1303)
         c1b = (
             fid >= self.last_kf_frame + cfg.tracking.min_frames_between_kf
         ) and idle
-        if c1a and not idle:
+        c1c = (not mono) and (
+            n_inliers < n_ref * 0.25 or need_close
+        )
+        if (c1a or c1c) and not idle:
             self.mapper_idle_hook(force=True)
             idle = True
-        return bool(c1a or c1b)
+        return bool(c1a or c1b or c1c)
 
     def _create_keyframe(
         self, feats, Tcw, cur_obs, ts, frame_id: int | None = None,
