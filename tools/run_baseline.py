@@ -97,17 +97,25 @@ def _ate(sys_, seq, align_scale):
     )
 
 
-def _run_session(sys_, feed, n_warm, n_timed):
-    """Feed frames; return steady-state fps timed over the last n_timed."""
+def _run_session(sys_, feed, n_warm, n_timed, warm_until=None):
+    """Feed frames; return steady-state fps timed over the last n_timed.
+
+    warm_until: optional predicate — warmup continues past n_warm until it
+    returns True (bounded at 3x n_warm frames total), so one-time events
+    (fused-scan compile at 8 keyframes, nKF=16 vocabulary retrain) stay out
+    of the timed window (PLATFORM.md §2b)."""
     import numpy as np  # noqa: F401
 
-    n_total = n_warm + n_timed
-    t0 = None
-    for i in range(n_total):
-        if i == n_warm:
-            sys_.tracker.flush_pending()
-            t0 = time.perf_counter()
+    i = 0
+    while i < n_warm or (
+        warm_until is not None and not warm_until() and i < 3 * n_warm
+    ):
         feed(i)
+        i += 1
+    sys_.tracker.flush_pending()
+    t0 = time.perf_counter()
+    for j in range(i, i + n_timed):
+        feed(j)
     sys_.tracker.flush_pending()
     dt = time.perf_counter() - t0
     return n_timed / dt
@@ -122,7 +130,8 @@ def run_config(n: int, platform: str, quick: bool = False) -> dict:
 
     n_warm = 8 if platform == "cpu" else 16
     n_timed = (4 if quick else 10) if platform == "cpu" else (8 if quick else 80)
-    n_total = n_warm + n_timed
+    # sequences carry runway for predicate-extended warmup (_run_session)
+    n_total = 3 * n_warm + n_timed + 12
 
     if n == 1:
         # config 1: monocular tracking, single chip (fr1/xyz proxy).
@@ -160,7 +169,13 @@ def run_config(n: int, platform: str, quick: bool = False) -> dict:
         def feed(i):
             sys_.track_monocular(seq.frames[i].image, i / 30.0)
 
-        fps = _run_session(sys_, feed, n_warm, n_timed)
+        # warm past the fused-scan compile (engages at 8 keyframes) so the
+        # timed window is steady state — the round-4 campaign's config-2 TPU
+        # cell was compile-dominated without this (BASELINE.md caveat)
+        fps = _run_session(
+            sys_, feed, n_warm, n_timed,
+            warm_until=lambda: sys_.tracker.n_kf_host >= 9,
+        )
         sys_.finish()
         ate = _ate(sys_, seq, align_scale=True)
         return dict(config=2, name="mono + mapping + local BA (fr2/desk proxy)",
