@@ -86,6 +86,83 @@ def refresh_point_stats(
     )
 
 
+def refresh_point_stats_touched(
+    m: SlamMap,
+    scale_factors: jnp.ndarray,
+    touched: jnp.ndarray,
+    cap: int = 4096,
+) -> SlamMap:
+    """refresh_point_stats restricted to a compacted subset of points.
+
+    The full refresh gathers every point's observation descriptors
+    ((M, O, 8) random 2-D gathers — the catastrophic pattern of
+    PLATFORM.md §2) and sorts an (M, O, O) Hamming cube; a mapping pass
+    only perturbs the points observed by the new keyframe and its fuse
+    targets (<= a few thousand), so the work here is gathered down to the
+    top-`cap` touched points and scattered back — ~4x less traffic at the
+    default capacities. Points beyond the cap keep their previous stats
+    until a later pass touches them (the reference likewise only updates
+    affected MapPoints — MapPoint.cc:248-377)."""
+    sel_v, pids = jax.lax.top_k(
+        (touched & m.mp_valid).astype(jnp.int32), min(cap, m.max_mp)
+    )
+    sel = sel_v > 0
+    T = pids.shape[0]
+    O = m.mp_obs_kf.shape[1]
+
+    obs_kf = m.mp_obs_kf[pids]
+    obs_ft = m.mp_obs_feat[pids]
+    n_obs = m.mp_n_obs[pids]
+    obs_ok = (obs_kf >= 0) & (jnp.arange(O)[None, :] < n_obs[:, None])
+    kf = jnp.maximum(obs_kf, 0)
+    ft = jnp.maximum(obs_ft, 0)
+    obs_ok = obs_ok & (m.kf_obs[kf, ft] == pids[:, None]) & m.kf_valid[kf]
+
+    descs = m.kf_desc[kf, ft]  # (T, O, 8)
+    d = jax.vmap(hamming.distance_matrix)(descs, descs)  # (T, O, O)
+    pair_ok = obs_ok[:, :, None] & obs_ok[:, None, :]
+    d = jnp.where(pair_ok, d, hamming.INVALID_DIST)
+    d_sorted = jnp.sort(d, axis=2)
+    cnt = obs_ok.sum(axis=1)
+    med_idx = jnp.maximum(cnt[:, None] // 2, 0)
+    median = jnp.take_along_axis(d_sorted, med_idx[..., None], axis=2)[..., 0]
+    median = jnp.where(obs_ok, median, hamming.INVALID_DIST)
+    best_obs = jnp.argmin(median, axis=1)
+    new_desc = descs[jnp.arange(T), best_obs]
+
+    R = m.kf_pose[kf][..., :3, :3]
+    t = m.kf_pose[kf][..., :3, 3]
+    centers = -jnp.einsum("moji,moj->moi", R, t)
+    rays = m.mp_pos[pids][:, None, :] - centers
+    norms = jnp.linalg.norm(rays, axis=-1)
+    rays_n = rays / jnp.maximum(norms, 1e-9)[..., None]
+    w = obs_ok.astype(jnp.float32)
+    normal = (rays_n * w[..., None]).sum(axis=1) / jnp.maximum(
+        w.sum(axis=1), 1.0
+    )[:, None]
+
+    ref_slot = jnp.argmax(obs_ok, axis=1)
+    aT = jnp.arange(T)
+    ref_kf = kf[aT, ref_slot]
+    ref_ft = ft[aT, ref_slot]
+    ref_dist = norms[aT, ref_slot]
+    ref_octave = m.kf_octave[ref_kf, ref_ft]
+    L = scale_factors.shape[0]
+    max_dist = ref_dist * scale_factors[jnp.clip(ref_octave, 0, L - 1)]
+    min_dist = max_dist / scale_factors[L - 1]
+
+    upd = sel & (cnt > 0)
+    w_idx = jnp.where(upd, pids, m.max_mp)
+    w_cnt = jnp.where(sel, pids, m.max_mp)
+    return m.replace(
+        mp_desc=m.mp_desc.at[w_idx].set(new_desc, mode="drop"),
+        mp_normal=m.mp_normal.at[w_idx].set(normal, mode="drop"),
+        mp_max_dist=m.mp_max_dist.at[w_idx].set(max_dist, mode="drop"),
+        mp_min_dist=m.mp_min_dist.at[w_idx].set(min_dist, mode="drop"),
+        mp_n_obs=m.mp_n_obs.at[w_cnt].set(cnt, mode="drop"),
+    )
+
+
 def predict_octave(
     dist: jnp.ndarray, max_dist: jnp.ndarray, scale_factor, n_levels: int
 ) -> jnp.ndarray:

@@ -21,7 +21,7 @@ from ..geometry import epipolar, se3, triangulate
 from ..ops import hamming
 from ..slam_map import types as mt
 from ..slam_map.covisibility import covisibility_matrix
-from ..slam_map.point_stats import refresh_point_stats
+from ..slam_map.point_stats import refresh_point_stats  # noqa: F401  (re-exported for depth-init)
 from ..slam_map.types import SlamMap
 
 
@@ -404,7 +404,7 @@ def fuse_in_neighbors(
     scale_factors: jnp.ndarray,
     sigma2: jnp.ndarray,
     cfg: SlamConfig,
-    max_targets: int = 32,
+    max_targets: int = 20,
 ) -> SlamMap:
     """LocalMapping::SearchInNeighbors (src/LocalMapping.cc:507-588): fuse
     the new keyframe's points into its 1st+2nd covisibility neighbors, then
@@ -442,8 +442,9 @@ def fuse_in_neighbors(
         jnp.where(t_ok, targets, m.max_kf)
     ].min(jnp.arange(tt.shape[0], dtype=jnp.int32), mode="drop")
     t_ok = t_ok & (first_hit[jnp.maximum(tt, 0)] == jnp.arange(tt.shape[0]))
-    # cap at the most covisible targets (beyond ~32 the extra 2nd-neighbors
-    # share almost no frustum with the new keyframe)
+    # cap at the most covisible targets — the reference's own first-neighbor
+    # budget is nn=20 (src/LocalMapping.cc:512), and each target costs ~3 ms
+    # of window-matching on the device (tools/profile_mapping.py)
     rank = jnp.where(t_ok, W[kf1][jnp.maximum(targets, 0)] + 1, -1)
     tvals, tsel = jax.lax.top_k(rank, min(max_targets, rank.shape[0]))
     targets = jnp.maximum(targets[tsel], 0)
@@ -715,7 +716,17 @@ def mapping_step(
 
     m = fuse_in_neighbors(m, new_kf, idx, vals > 0, K, scale_factors, sigma2, cfg)
 
-    m = refresh_point_stats(m, scale_factors)
+    # stats refresh restricted to the points this pass could have touched:
+    # everything observed by the new keyframe or any covisible keyframe
+    # (superset of the triangulated/fused/merged sets)
+    from ..slam_map.point_stats import refresh_point_stats_touched
+
+    sel_kf = (W[new_kf] > 0) | (jnp.arange(m.max_kf) == new_kf)
+    flat = jnp.where((sel_kf & m.kf_valid)[:, None], m.kf_obs, -1).reshape(-1)
+    touched = jnp.zeros(m.max_mp, bool).at[
+        jnp.where(flat >= 0, flat, m.max_mp)
+    ].set(True, mode="drop")
+    m = refresh_point_stats_touched(m, scale_factors, touched)
 
     if run_ba:
         prob, cam_ids, point_ids = extract_local_ba(
