@@ -308,3 +308,324 @@ class TestTrajectoryReanchor:
         sys_._reanchor_culled_trajectory(prev_valid)
         assert t.trajectory[1][2] == 0
         assert np.all(np.isfinite(np.asarray(t.trajectory[1][1])))
+
+
+class TestUndistortedImageBounds:
+    """Frame::ComputeImageBounds parity (src/Frame.cc:561-589): projection
+    gates use the true undistorted image box, not [0, 2cx] x [0, 2cy] — an
+    offset principal point must not clip the far edge band."""
+
+    def _local_map_setup(self):
+        import jax.numpy as jnp
+
+        from weiner_slamit_v2_tpu.frontend.extractor import FrameFeatures
+        from weiner_slamit_v2_tpu.slam_map import types as mt
+        from weiner_slamit_v2_tpu.tracking.tracker import _track_local_map
+
+        cap = MapCapacityConfig(
+            max_keyframes=8, max_map_points=64, max_obs_per_point=4,
+            local_ba_window=4, local_ba_points=64,
+        )
+        N = 8
+        m = mt.empty_map(cap, N)
+        # camera: fx=300, cx=150 on a 320-wide image -> 2*cx = 300 clips
+        # the rightmost 20 px
+        Km = jnp.asarray(
+            [[300.0, 0, 150.0], [0, 300.0, 120.0], [0, 0, 1]], jnp.float32
+        )
+        # point A (tracked, votes kf0 into the local set) at image center;
+        # point B projects to u=310 — inside the real image, outside 2*cx
+        A = jnp.asarray([0.0, 0.0, 1.0])
+        B = jnp.asarray([(310.0 - 150.0) / 300.0, 0.0, 1.0])
+        m = m.replace(
+            kf_valid=m.kf_valid.at[0].set(True),
+            kf_obs=m.kf_obs.at[0, 0].set(0).at[0, 1].set(1),
+            kf_feat_valid=m.kf_feat_valid.at[0, :2].set(True),
+            mp_valid=m.mp_valid.at[:2].set(True),
+            mp_pos=m.mp_pos.at[0].set(A).at[1].set(B),
+            mp_normal=m.mp_normal.at[0].set(A / jnp.linalg.norm(A))
+            .at[1].set(B / jnp.linalg.norm(B)),
+            mp_min_dist=m.mp_min_dist.at[:2].set(0.5),
+            mp_max_dist=m.mp_max_dist.at[:2].set(1.2),
+            mp_desc=m.mp_desc.at[1].set(jnp.full(8, 0xAAAA, jnp.uint32)),
+            mp_obs_kf=m.mp_obs_kf.at[0, 0].set(0).at[1, 0].set(0),
+            mp_obs_feat=m.mp_obs_feat.at[0, 0].set(0).at[1, 0].set(1),
+            mp_n_obs=m.mp_n_obs.at[:2].set(1),
+            n_kf=jnp.asarray(1), n_mp=jnp.asarray(2),
+        )
+        xy = jnp.zeros((N, 2)).at[0].set(jnp.asarray([150.0, 120.0])).at[1].set(
+            jnp.asarray([310.0, 120.0])
+        )
+        desc = jnp.zeros((N, 8), jnp.uint32).at[1].set(
+            jnp.full(8, 0xAAAA, jnp.uint32)
+        )
+        feats = FrameFeatures(
+            xy=xy, xy_und=xy, response=jnp.zeros(N), angle=jnp.zeros(N),
+            octave=jnp.zeros(N, jnp.int32), desc=desc,
+            valid=jnp.arange(N) < 2,
+        )
+        cur_obs = jnp.full(N, -1, jnp.int32).at[0].set(0)
+        scale_factors = jnp.asarray([1.2**i for i in range(8)], jnp.float32)
+        args = (
+            m, feats, cur_obs, jnp.eye(4), Km, scale_factors,
+            jnp.asarray(1.0), 8, jnp.asarray(0.9), jnp.asarray(100),
+        )
+        return args
+
+    def test_edge_band_matches_with_true_bounds(self):
+        import jax.numpy as jnp
+
+        from weiner_slamit_v2_tpu.tracking.tracker import _track_local_map
+
+        args = self._local_map_setup()
+        # legacy [0, 2cx] box: the u=310 point is clipped
+        obs_old, _ = _track_local_map(*args, bounds=None)
+        assert int(obs_old[1]) == -1
+        # true bounds [0, 320): the edge-band point matches feature 1
+        obs_new, _ = _track_local_map(
+            *args, bounds=jnp.asarray([0.0, 320.0, 0.0, 240.0])
+        )
+        assert int(obs_new[1]) == 1
+
+    def test_bounds_helpers(self):
+        import numpy as np
+
+        from weiner_slamit_v2_tpu.geometry.camera import (
+            pixel4_camera, undistorted_bounds,
+        )
+
+        # no distortion: exactly the image rectangle
+        b = undistorted_bounds(300, 300, 150, 120, width=320, height=240)
+        np.testing.assert_allclose(b, [0, 320, 0, 240])
+        # the reference's Pixel-4 calibration: bounds move off the rectangle
+        cam = pixel4_camera()
+        b = np.asarray(cam.image_bounds())
+        assert b[0] != 0.0 or b[1] != 640.0
+        assert b[1] > 600.0 and b[0] < 30.0
+
+
+class TestStagedRelocalization:
+    """Reference-exact relocalization retry schedule (Tracking.cc:1730-1816):
+    when BoW matching alone leaves nGood < 50, the wide
+    SearchByProjection(th=10, ORBdist=100) retry (and the narrow th=3,
+    ORBdist=64 pass) must recover enough inliers to clear the >= 50 gate."""
+
+    def _setup(self):
+        import jax
+        import jax.numpy as jnp
+
+        from weiner_slamit_v2_tpu.frontend.extractor import FrameFeatures
+        from weiner_slamit_v2_tpu.geometry import se3
+        from weiner_slamit_v2_tpu.slam_map import types as mt
+
+        rng = np.random.default_rng(5)
+        cfg = small_config()
+        N = cfg.orb.n_features
+        P = 96  # map points observed by kf0
+        cap = cfg.capacity
+        m = mt.empty_map(cap, N)
+
+        Km = np.array([[300.0, 0, 160.0], [0, 300.0, 120.0], [0, 0, 1]],
+                      np.float32)
+        # world points in front of the keyframe (z in [2, 4])
+        X = np.stack([
+            rng.uniform(-1.0, 1.0, P), rng.uniform(-0.7, 0.7, P),
+            rng.uniform(2.0, 4.0, P),
+        ], 1).astype(np.float32)
+        # the frame sits slightly off the keyframe pose
+        T_kf = np.eye(4, dtype=np.float32)
+        T_fr = np.asarray(
+            se3.exp(jnp.asarray([0.03, -0.02, 0.01, 0.004, -0.003, 0.002])),
+            np.float32,
+        )
+        uv_kf = (X / X[:, 2:3]) @ Km.T
+        Pc = (X @ T_fr[:3, :3].T) + T_fr[:3, 3]
+        uv_fr = (Pc / Pc[:, 2:3]) @ Km.T
+
+        # descriptors: first 30 identical between KF and frame (BoW-found);
+        # the rest differ by ~64 bits — beyond TH_LOW=50, within ORBdist=100
+        desc = rng.integers(0, 2**32, (P, 8), dtype=np.uint32)
+        desc_fr = desc.copy()
+        flip = np.zeros(8, np.uint32)
+        flip[:2] = 0xFFFFFFFF  # 64 flipped bits
+        desc_fr[30:] ^= flip[None, :]
+
+        dist = np.linalg.norm(X, axis=1).astype(np.float32)
+        m = m.replace(
+            kf_valid=m.kf_valid.at[0].set(True),
+            kf_pose=m.kf_pose.at[0].set(jnp.asarray(T_kf)),
+            kf_xy=m.kf_xy.at[0, :P].set(jnp.asarray(uv_kf[:, :2])),
+            kf_desc=m.kf_desc.at[0, :P].set(jnp.asarray(desc)),
+            kf_feat_valid=m.kf_feat_valid.at[0, :P].set(True),
+            kf_obs=m.kf_obs.at[0, :P].set(jnp.arange(P)),
+            mp_valid=m.mp_valid.at[:P].set(True),
+            mp_pos=m.mp_pos.at[:P].set(jnp.asarray(X)),
+            mp_desc=m.mp_desc.at[:P].set(jnp.asarray(desc)),
+            mp_normal=m.mp_normal.at[:P].set(
+                jnp.asarray(X / np.linalg.norm(X, axis=1, keepdims=True))
+            ),
+            mp_min_dist=m.mp_min_dist.at[:P].set(jnp.asarray(dist / 1.2)),
+            mp_max_dist=m.mp_max_dist.at[:P].set(jnp.asarray(dist * 1.2)),
+            mp_obs_kf=m.mp_obs_kf.at[:P, 0].set(0),
+            mp_obs_feat=m.mp_obs_feat.at[:P, 0].set(jnp.arange(P)),
+            mp_n_obs=m.mp_n_obs.at[:P].set(1),
+            n_kf=jnp.asarray(1), n_mp=jnp.asarray(P),
+        )
+        xy = np.zeros((N, 2), np.float32)
+        xy[:P] = uv_fr[:, :2]
+        dsc = np.zeros((N, 8), np.uint32)
+        dsc[:P] = desc_fr
+        feats = FrameFeatures(
+            xy=jnp.asarray(xy), xy_und=jnp.asarray(xy),
+            response=jnp.zeros(N), angle=jnp.zeros(N),
+            octave=jnp.zeros(N, jnp.int32), desc=jnp.asarray(dsc),
+            valid=jnp.arange(N) < P,
+        )
+        return cfg, m, feats, jnp.asarray(Km), T_fr
+
+    def test_wide_retry_clears_the_50_gate(self):
+        import jax
+        import jax.numpy as jnp
+
+        from weiner_slamit_v2_tpu.frontend import matcher
+        from weiner_slamit_v2_tpu.tracking.tracker import _reloc_program
+
+        cfg, m, feats, Km, T_fr = self._setup()
+        # BoW matching alone cannot reach 50: only the 30 exact descriptors
+        idx, _ = matcher.match_by_descriptor(
+            m.kf_desc[0], feats.desc,
+            (m.kf_obs[0] >= 0) & m.kf_feat_valid[0], feats.valid,
+            max_dist=cfg.matcher.th_low, nn_ratio=cfg.matcher.nn_ratio_bow,
+        )
+        assert int((idx >= 0).sum()) < 50
+
+        inv_sigma2 = jnp.asarray([1.2 ** (-2 * i) for i in range(8)])
+        scale_factors = jnp.asarray([1.2**i for i in range(8)])
+        n_good, Tcw_all, obs_all = _reloc_program(
+            m, feats, jnp.asarray([0, 0, 0]),
+            jnp.asarray([True, False, False]),
+            jnp.stack([jax.random.PRNGKey(i) for i in range(3)]),
+            Km, inv_sigma2, scale_factors,
+            jnp.asarray(cfg.matcher.nn_ratio_bow),
+            jnp.asarray(cfg.matcher.th_low),
+            None, jnp.asarray(0.0),
+            n_levels=8, histo_bins=30, accept_n=50,
+        )
+        assert int(n_good[0]) >= 50, int(n_good[0])
+        # recovered pose matches the true frame pose
+        err = np.abs(np.asarray(Tcw_all[0]) - T_fr).max()
+        assert err < 1e-2, err
+
+    def test_end_to_end_relocalize(self):
+        import jax.numpy as jnp
+
+        from weiner_slamit_v2_tpu.geometry.camera import Camera
+        from weiner_slamit_v2_tpu.tracking.tracker import LOST, Tracker
+
+        cfg, m, feats, Km, T_fr = self._setup()
+        cam = Camera.create(300.0, 300.0, 160.0, 120.0, width=W, height=H)
+        t = Tracker(cfg, cam)
+        t.m = m
+        t.n_kf_host = 1
+        t.ref_kf = 0
+        t.state = LOST
+        t.frame_id = 5
+        t.K = jnp.asarray(Km)
+        out = t._relocalize(feats, 0.5)
+        assert out.state == "OK"
+        assert out.n_inliers >= 50
+
+
+class TestAbortableBA:
+    """mbAbortBA / mbStopGBA parity (src/LocalMapping.cc:127,681-684;
+    src/LoopClosing.cc:429-442): the mapping pass runs as separate stage
+    programs; a forced keyframe insertion skips queued BA chunks and adopts
+    the best-so-far state instead of blocking on the full LM schedule, and
+    a superseded global BA stops issuing chunks."""
+
+    def _mapping_session(self):
+        import dataclasses as dc
+
+        cfg = small_config()
+        # huge latency floor: chunks stay lazily issued so the test controls
+        # exactly how far the staged schedule advances
+        cfg = dc.replace(
+            cfg, tracking=dc.replace(
+                cfg.tracking, mapping_latency_frames=1000, abortable_ba=True,
+            ),
+        )
+        seq = make_synthetic_sequence(
+            n_frames=24, h=H, w=W, seed=11, motion="orbit", K=K
+        )
+        cam = Camera.create(300.0, 300.0, 159.5, 119.5, width=W, height=H)
+        sys_ = System(cfg, cam)
+        return sys_, seq
+
+    def test_forced_insertion_aborts_queued_chunks(self):
+        sys_, seq = self._mapping_session()
+        i = 0
+        # run until a staged mapping pass is in flight
+        while sys_._stage is None and i < len(seq.frames):
+            sys_.track_monocular(seq.frames[i].image, seq.frames[i].timestamp)
+            i += 1
+        assert sys_._stage is not None, "no mapping pass enqueued"
+        total = 1 + sys_._n_ba_chunks  # phase1 + refinement chunks
+        issued_before = sys_.ba_chunks_issued
+        # the forced path (c1a/c1c) aborts: queued chunks are never issued
+        idle = sys_.mapper_idle(force=True, abort=True)
+        assert idle
+        assert sys_._stage is None and sys_._pending_map is None
+        assert sys_.ba_chunks_aborted > 0
+        assert sys_.ba_chunks_issued - issued_before < total
+        # the session keeps tracking on the adopted (truncated) pass
+        n_ok = 0
+        for j in range(i, len(seq.frames)):
+            out = sys_.track_monocular(
+                seq.frames[j].image, seq.frames[j].timestamp
+            )
+            n_ok += out.state == "OK"
+        assert n_ok > (len(seq.frames) - i) // 2
+
+    def test_full_drain_issues_all_chunks(self):
+        sys_, seq = self._mapping_session()
+        i = 0
+        while sys_._stage is None and i < len(seq.frames):
+            sys_.track_monocular(seq.frames[i].image, seq.frames[i].timestamp)
+            i += 1
+        assert sys_._stage is not None
+        # finish() drains WITHOUT aborting: the full schedule runs — every
+        # chunk of every pass issued, none aborted
+        sys_.finish()
+        assert sys_._stage is None
+        assert sys_.ba_chunks_aborted == 0
+        passes = sys_.tracker.n_kf_host - 2  # first mapping pass at kf 2
+        assert sys_.ba_chunks_issued == passes * (sys_._n_ba_chunks + 1)
+
+    def test_superseded_gba_stops_issuing_chunks(self):
+        import dataclasses as dc
+        import jax.numpy as jnp
+
+        from weiner_slamit_v2_tpu.tracking.loop_closing import LoopCloser
+
+        cfg = small_config()
+        seq = make_synthetic_sequence(
+            n_frames=12, h=H, w=W, seed=11, motion="orbit", K=K
+        )
+        cam = Camera.create(300.0, 300.0, 159.5, 119.5, width=W, height=H)
+        sys_ = System(cfg, cam, enable_loop_closing=True)
+        for f in seq.frames:
+            sys_.track_monocular(f.image, f.timestamp)
+        sys_.finish()
+        lc = sys_.loop_closer
+        # enqueue a GBA directly (as CorrectLoop would)
+        lc._enqueue_global_ba(gauge_kf=0)
+        assert lc._pending_gba is not None
+        assert lc._pending_gba["chunks_left"] > 0
+        issued = lc.gba_chunks_issued
+        # supersede mid-run (new loop / reset): no further chunks issued
+        lc.discard_pending_gba()
+        assert lc._pending_gba is None
+        assert lc.gba_chunks_issued == issued
+        # polling after the supersede is a no-op
+        assert lc.poll_global_ba() is False
+        assert lc.gba_chunks_issued == issued

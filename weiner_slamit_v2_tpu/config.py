@@ -96,6 +96,14 @@ class TrackingConfig:
     # map is young; a mature map tolerates it (the reference's asynchronous
     # mapper imposes the same lateness on keyframe processing).
     pipeline_warmup_kfs: int = 8
+    # Abortable local BA (mbAbortBA — src/LocalMapping.cc:127,681-684): the
+    # mapping pass runs as separate stage programs (structure pass, LM
+    # chunks of ba_chunk_iters, write-back) so a forced keyframe insertion
+    # (c1a/c1c) skips the not-yet-issued chunks and adopts best-so-far
+    # instead of blocking on the full LM schedule. False = one fused
+    # mapping program (uninterruptible, fewer launches).
+    abortable_ba: bool = True
+    ba_chunk_iters: int = 5
 
 
 @dataclass(frozen=True)

@@ -105,6 +105,19 @@ class Camera:
         v = self.fy * x[..., 1] + self.cy
         return jnp.stack([u, v], axis=-1)
 
+    def image_bounds(self) -> "jnp.ndarray":
+        """Undistorted image bounds [min_x, max_x, min_y, max_y]
+        (Frame::ComputeImageBounds, jni/ORB_SLAM2/src/Frame.cc:561-589):
+        the four distorted-image corners mapped through the undistortion.
+        With no distortion this is exactly [0, W, 0, H]. Used by every
+        projection gate instead of the naive [0, 2cx]x[0, 2cy] box (which
+        clips an edge band whenever cx != W/2)."""
+        return undistorted_bounds(
+            float(self.fx), float(self.fy), float(self.cx), float(self.cy),
+            float(self.k1), float(self.k2), float(self.p1), float(self.p2),
+            float(self.k3), self.width, self.height,
+        )
+
     def in_image(self, uv: jnp.ndarray, margin: float = 0.0) -> jnp.ndarray:
         """Boolean mask for pixels inside the (rectified) image bounds."""
         return (
@@ -113,6 +126,55 @@ class Camera:
             & (uv[..., 1] >= margin)
             & (uv[..., 1] < self.height - margin)
         )
+
+
+def undistorted_bounds(
+    fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,
+    width=640, height=480,
+):
+    """Host-side Frame::ComputeImageBounds (src/Frame.cc:561-589): undistort
+    the four image corners with the same fixed-point scheme as
+    Camera.undistort_points and take the per-side extrema. Returns a numpy
+    float32 (4,): [min_x, max_x, min_y, max_y]. Computed once per camera at
+    session construction and baked into the traced programs."""
+    import numpy as np
+
+    if k1 == 0 and k2 == 0 and p1 == 0 and p2 == 0 and k3 == 0:
+        return np.asarray([0.0, float(width), 0.0, float(height)], np.float32)
+    corners = np.array(
+        [[0, 0], [width, 0], [0, height], [width, height]], np.float64
+    )
+    xd = (corners[:, 0] - cx) / fx
+    yd = (corners[:, 1] - cy) / fy
+    x, y = xd.copy(), yd.copy()
+    for _ in range(8):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (xd - dx) / radial
+        y = (yd - dy) / radial
+    u = fx * x + cx
+    v = fy * y + cy
+    return np.asarray(
+        [
+            min(u[0], u[2]),   # mnMinX = min(topleft.x, bottomleft.x)
+            max(u[1], u[3]),   # mnMaxX = max(topright.x, bottomright.x)
+            min(v[0], v[1]),   # mnMinY = min(topleft.y, topright.y)
+            max(v[2], v[3]),   # mnMaxY = max(bottomleft.y, bottomright.y)
+        ],
+        np.float32,
+    )
+
+
+def bounds_from_config(cam_cfg) -> "jnp.ndarray":
+    """undistorted_bounds from a config.CameraConfig (static trace-time
+    constant for programs whose cfg is a static jit argument)."""
+    return undistorted_bounds(
+        cam_cfg.fx, cam_cfg.fy, cam_cfg.cx, cam_cfg.cy,
+        cam_cfg.k1, cam_cfg.k2, cam_cfg.p1, cam_cfg.p2, cam_cfg.k3,
+        cam_cfg.width, cam_cfg.height,
+    )
 
 
 # The reference app's hardcoded Pixel-4 calibration

@@ -38,6 +38,7 @@ from ..geometry import se3
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815  # 3-dof 95% gate (EdgeStereoSE3ProjectXYZ, Optimizer.cc:295)
 HUBER2 = 5.991  # Huber delta^2 (delta = sqrt(5.991), Optimizer.cc:536)
+BA_LAMBDA_INIT = 1e-4  # LM damping seed (both phases; solve_ba/chunked alike)
 
 
 @flax.struct.dataclass
@@ -399,6 +400,123 @@ def _total_cost(cam_pose, points, K, prob: BAProblem, active_obs, robust):
     return jnp.sum(jnp.where(ok, cost, 0.0)), chi2, z
 
 
+def _base_obs(prob: BAProblem):
+    return (
+        prob.obs_valid
+        & (prob.obs_cam >= 0)
+        & prob.point_valid[:, None]
+        & prob.cam_valid[jnp.maximum(prob.obs_cam, 0)]
+    )
+
+
+def _lm_phase(prob, cam_pose, points, active_obs, robust, n_iters, lam0):
+    """n_iters damped LM steps over the active observation set. Returns
+    (cam_pose, points, lam) — lam carries across chunk boundaries so a
+    resumed phase continues with the adapted damping."""
+    C = prob.cam_pose.shape[0]
+    cam_free = prob.cam_valid & ~prob.cam_fixed
+    base = _base_obs(prob)
+    point_free = prob.point_valid & (base.sum(axis=1) > 0)
+
+    def step(_, state):
+        cam_pose, points, lam = state
+        c0, chi2, _ = _total_cost(
+            cam_pose, points, prob.K, prob, active_obs, robust
+        )
+        w = prob.obs_inv_sigma2 * _robust_weight(
+            chi2, robust, _per_obs_chi2_th(prob)
+        )
+        w = jnp.where(active_obs, w, 0.0)
+        Hcc, bc, Hpp, bp, U = build_normal_equations(
+            cam_pose, points, prob.K, prob.obs_cam, prob.obs_uv, w, C,
+            prob.obs_ur, prob.obs_has_ur, prob.bf,
+        )
+        dc, dp = schur_solve(Hcc, bc, Hpp, bp, U, cam_free, point_free, lam)
+
+        new_pose = jax.vmap(se3.retract)(cam_pose, dc)
+        new_pts = points + dp
+
+        c1, _, _ = _total_cost(new_pose, new_pts, prob.K, prob, active_obs, robust)
+        # a NaN/Inf state must never be accepted (a NaN cost masks to 0
+        # through the validity gates, which would look like a decrease)
+        finite = (
+            jnp.isfinite(c1)
+            & jnp.all(jnp.isfinite(dc))
+            & jnp.all(jnp.isfinite(dp))
+        )
+        accept = (c1 < c0) & finite
+        cam_pose = jnp.where(accept, new_pose, cam_pose)
+        points = jnp.where(accept, new_pts, points)
+        # floor the damping: monocular BA has gauge/low-parallax null
+        # directions; letting lam -> 0 sends points sliding to infinity
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 8.0), 1e-5, 1e3)
+        return cam_pose, points, lam
+
+    return jax.lax.fori_loop(0, n_iters, step, (cam_pose, points, lam0))
+
+
+# ---------------------------------------------------------------------------
+# Resumable chunks: the abortable-BA building blocks. The reference's
+# LocalBundleAdjustment takes mbAbortBA and quits between LM iterations
+# (g2o setForceStopFlag + the bDoMore check — src/Optimizer.cc:617-640,
+# src/LocalMapping.cc:127,681-684); here the schedule is sliced into separate
+# device programs so the host can stop issuing chunks at any boundary and
+# finalize from the best-so-far state.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def ba_phase1(
+    prob: BAProblem, n_iters: int = 5,
+    chi2_th: float = CHI2_MONO, lambda_init: float = 1e-4,
+):
+    """Robust phase + outlier classification (Optimizer.cc:617-655).
+    Returns (cam_pose, points, lam, inlier (P,O))."""
+    base = _base_obs(prob)
+    cam_pose, points, lam = _lm_phase(
+        prob, prob.cam_pose, prob.points, base, jnp.asarray(True),
+        n_iters, lambda_init,
+    )
+    _, chi2, z = _total_cost(
+        cam_pose, points, prob.K, prob, base, jnp.asarray(True)
+    )
+    th = _per_obs_chi2_th(prob, chi2_th)
+    inlier = base & (chi2 <= th) & (z > 0)
+    return cam_pose, points, lam, inlier
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def ba_phase2_chunk(
+    prob: BAProblem, cam_pose, points, lam, inlier, n_iters: int = 5,
+):
+    """One non-robust refinement chunk over the classified inlier set
+    (resumable: feed the outputs back in for the next chunk)."""
+    cam_pose, points, lam = _lm_phase(
+        prob, cam_pose, points, inlier, jnp.asarray(False), n_iters, lam
+    )
+    return cam_pose, points, lam
+
+
+@jax.jit
+def ba_finalize(
+    prob: BAProblem, cam_pose, points, chi2_th: float = CHI2_MONO
+) -> BAResult:
+    """Orthonormalize + final inlier classification from ANY intermediate
+    state (the abort path adopts best-so-far, like the reference's writeback
+    after an interrupted optimize — Optimizer.cc:700-778)."""
+    base = _base_obs(prob)
+    cam_pose = jax.vmap(se3.orthonormalize)(cam_pose)
+    final_cost, chi2, z = _total_cost(
+        cam_pose, points, prob.K, prob, base, jnp.asarray(False)
+    )
+    th = _per_obs_chi2_th(prob, chi2_th)
+    obs_inlier = base & (chi2 <= th) & (z > 0)
+    return BAResult(
+        cam_pose=cam_pose, points=points, obs_inlier=obs_inlier,
+        final_cost=final_cost,
+    )
+
+
 @partial(jax.jit, static_argnames=("iters1", "iters2"))
 def solve_ba(
     prob: BAProblem,
@@ -409,76 +527,13 @@ def solve_ba(
 ) -> BAResult:
     """Two-phase LM bundle adjustment (the LocalBundleAdjustment schedule:
     5 robust iters, chi2 outlier rejection, 10 non-robust iters —
-    Optimizer.cc:617-680)."""
-    C = prob.cam_pose.shape[0]
-    base_obs = (
-        prob.obs_valid
-        & (prob.obs_cam >= 0)
-        & prob.point_valid[:, None]
-        & prob.cam_valid[jnp.maximum(prob.obs_cam, 0)]
+    Optimizer.cc:617-680) as ONE fused program (the uninterruptible fast
+    path; the chunked ba_phase1/ba_phase2_chunk/ba_finalize trio is the
+    abortable pipeline variant and computes the same schedule)."""
+    cam_pose, points, lam, inlier = ba_phase1(
+        prob, iters1, chi2_th, lambda_init
     )
-    cam_free = prob.cam_valid & ~prob.cam_fixed
-    # points with at least one observation are free
-    point_free = prob.point_valid & (base_obs.sum(axis=1) > 0)
-
-    def lm_phase(cam_pose, points, active_obs, robust, n_iters, lam0):
-        def step(_, state):
-            cam_pose, points, lam = state
-            c0, chi2, _ = _total_cost(
-                cam_pose, points, prob.K, prob, active_obs, robust
-            )
-            w = prob.obs_inv_sigma2 * _robust_weight(
-                chi2, robust, _per_obs_chi2_th(prob)
-            )
-            w = jnp.where(active_obs, w, 0.0)
-            Hcc, bc, Hpp, bp, U = build_normal_equations(
-                cam_pose, points, prob.K, prob.obs_cam, prob.obs_uv, w, C,
-                prob.obs_ur, prob.obs_has_ur, prob.bf,
-            )
-            dc, dp = schur_solve(Hcc, bc, Hpp, bp, U, cam_free, point_free, lam)
-
-            new_pose = jax.vmap(se3.retract)(cam_pose, dc)
-            new_pts = points + dp
-
-            c1, _, _ = _total_cost(new_pose, new_pts, prob.K, prob, active_obs, robust)
-            # a NaN/Inf state must never be accepted (a NaN cost masks to 0
-            # through the validity gates, which would look like a decrease)
-            finite = (
-                jnp.isfinite(c1)
-                & jnp.all(jnp.isfinite(dc))
-                & jnp.all(jnp.isfinite(dp))
-            )
-            accept = (c1 < c0) & finite
-            cam_pose = jnp.where(accept, new_pose, cam_pose)
-            points = jnp.where(accept, new_pts, points)
-            # floor the damping: monocular BA has gauge/low-parallax null
-            # directions; letting lam -> 0 sends points sliding to infinity
-            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 8.0), 1e-5, 1e3)
-            return cam_pose, points, lam
-
-        cam_pose, points, _ = jax.lax.fori_loop(
-            0, n_iters, step, (cam_pose, points, lam0)
-        )
-        return cam_pose, points
-
-    cam_pose, points = lm_phase(
-        prob.cam_pose, prob.points, base_obs, jnp.asarray(True), iters1, lambda_init
+    cam_pose, points, lam = ba_phase2_chunk(
+        prob, cam_pose, points, lambda_init, inlier, iters2
     )
-
-    # outlier classification (Optimizer.cc:640-655): 5.991 mono, 7.815 stereo
-    _, chi2, z = _total_cost(cam_pose, points, prob.K, prob, base_obs, jnp.asarray(True))
-    th = _per_obs_chi2_th(prob, chi2_th)
-    inlier = base_obs & (chi2 <= th) & (z > 0)
-
-    cam_pose, points = lm_phase(
-        cam_pose, points, inlier, jnp.asarray(False), iters2, lambda_init
-    )
-
-    cam_pose = jax.vmap(se3.orthonormalize)(cam_pose)
-    final_cost, chi2, z = _total_cost(
-        cam_pose, points, prob.K, prob, inlier, jnp.asarray(False)
-    )
-    obs_inlier = base_obs & (chi2 <= th) & (z > 0)
-    return BAResult(
-        cam_pose=cam_pose, points=points, obs_inlier=obs_inlier, final_cost=final_cost
-    )
+    return ba_finalize(prob, cam_pose, points, chi2_th)

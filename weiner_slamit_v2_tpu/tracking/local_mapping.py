@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..config import SlamConfig
 from ..frontend import matcher
-from ..geometry import epipolar, se3, triangulate
+from ..geometry import camera, epipolar, se3, triangulate
 from ..ops import hamming
 from ..slam_map import types as mt
 from ..slam_map.covisibility import covisibility_matrix
@@ -257,11 +257,13 @@ def _fuse_points_into_kf(
     ray = X - C
     dist3 = jnp.linalg.norm(ray, axis=1)
     viewcos = jnp.sum(ray * m.mp_normal[pid], axis=1) / jnp.maximum(dist3, 1e-9)
+    # undistorted image bounds (Frame::ComputeImageBounds, Frame.cc:561-589)
+    bx = camera.bounds_from_config(cfg.camera)
     p_ok = (
         p_ok & (z > 0) & (viewcos > 0.5)
         & (dist3 >= 0.8 * m.mp_min_dist[pid])
         & (dist3 <= 1.2 * m.mp_max_dist[pid])
-        & (u >= 0) & (u < 2.0 * K[0, 2]) & (v >= 0) & (v < 2.0 * K[1, 2])
+        & (u >= bx[0]) & (u < bx[1]) & (v >= bx[2]) & (v < bx[3])
     )
     pred_oct = predict_octave(dist3, m.mp_max_dist[pid], scale_factors[1], L)
 
@@ -364,11 +366,13 @@ def _fuse_match_in_kf(
     ray = X - C
     dist3 = jnp.linalg.norm(ray, axis=1)
     viewcos = jnp.sum(ray * m.mp_normal[pid], axis=1) / jnp.maximum(dist3, 1e-9)
+    # undistorted image bounds (Frame::ComputeImageBounds, Frame.cc:561-589)
+    bx = camera.bounds_from_config(cfg.camera)
     p_ok = (
         p_ok & (z > 0) & (viewcos > 0.5)
         & (dist3 >= 0.8 * m.mp_min_dist[pid])
         & (dist3 <= 1.2 * m.mp_max_dist[pid])
-        & (u >= 0) & (u < 2.0 * K[0, 2]) & (v >= 0) & (v < 2.0 * K[1, 2])
+        & (u >= bx[0]) & (u < bx[1]) & (v >= bx[2]) & (v < bx[3])
     )
     pred_oct = predict_octave(dist3, m.mp_max_dist[pid], scale_factors[1], L)
 
@@ -681,6 +685,93 @@ def invalidate_keyframe(m: SlamMap, kf_id, rebuild: bool = True) -> SlamMap:
     return mt.rebuild_observation_lists(m) if rebuild else m
 
 
+def mapping_pre(
+    m: SlamMap,
+    new_kf,
+    K: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    sigma2: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    cfg: SlamConfig,
+    n_neighbors: int | None = None,
+    run_ba: bool = True,
+    run_culling: bool = True,
+):
+    """Structure half of the local-mapping pass (LocalMapping::Run up to the
+    BA — src/LocalMapping.cc:50-84): point culling -> triangulation with top
+    covisible neighbors -> cross-neighbor fuse -> statistics refresh -> BA
+    problem extraction. Returns (m, prob, cam_ids, point_ids); the BA triple
+    is None when run_ba=False. Splitting here is what makes the pass
+    abortable: the host can stop issuing BA chunks between this program and
+    mapping_finish (the mbAbortBA analogue, src/LocalMapping.cc:127)."""
+    from ..optim.ba_extract import extract_local_ba
+
+    if n_neighbors is None:
+        n_neighbors = cfg.mapping.triangulation_neighbors
+
+    if run_culling:
+        m = cull_map_points(m, new_kf, cfg)
+
+    W = covisibility_matrix(m)
+    vals, idx = jax.lax.top_k(W[new_kf], min(n_neighbors, m.max_kf))
+    m = triangulate_with_neighbors(
+        m, new_kf, idx, vals > 0, K, scale_factors, sigma2, cfg
+    )
+
+    m = fuse_in_neighbors(m, new_kf, idx, vals > 0, K, scale_factors, sigma2, cfg)
+
+    # stats refresh restricted to the points this pass could have touched:
+    # everything observed by the new keyframe or any covisible keyframe.
+    # The covisibility row is recomputed AFTER the fuse: a Replace winner
+    # owned by a second-neighbor fuse target inherits the loser's new_kf
+    # observation and becomes covisible only now — the pre-pass row would
+    # miss it and leave its descriptor/normal stale.
+    from ..slam_map.point_stats import refresh_point_stats_touched
+
+    W2 = covisibility_matrix(m)
+    sel_kf = (W2[new_kf] > 0) | (jnp.arange(m.max_kf) == new_kf)
+    flat = jnp.where((sel_kf & m.kf_valid)[:, None], m.kf_obs, -1).reshape(-1)
+    touched = jnp.zeros(m.max_mp, bool).at[
+        jnp.where(flat >= 0, flat, m.max_mp)
+    ].set(True, mode="drop")
+    m = refresh_point_stats_touched(m, scale_factors, touched)
+
+    if not run_ba:
+        return m, None, None, None
+    prob, cam_ids, point_ids = extract_local_ba(
+        m, new_kf, K, inv_sigma2,
+        window=cfg.capacity.local_ba_window,
+        n_fixed=cfg.capacity.local_ba_window,
+        max_points=cfg.capacity.local_ba_points,
+        bf=cfg.camera.baseline_times_fx,
+    )
+    return m, prob, cam_ids, point_ids
+
+
+def mapping_finish(
+    m: SlamMap,
+    new_kf,
+    res,
+    prob,
+    cam_ids,
+    point_ids,
+    cfg: SlamConfig,
+    run_culling: bool = True,
+) -> SlamMap:
+    """Write-back half of the mapping pass (src/LocalMapping.cc:84-118):
+    BA write-back (skipped when res is None — the fully-aborted path) ->
+    keyframe culling -> one deferred observation-list rebuild."""
+    from ..optim.ba_extract import write_back_ba
+
+    if res is not None:
+        m = write_back_ba(m, res, prob, cam_ids, point_ids, rebuild=False)
+    if run_culling:
+        m = cull_keyframes(m, new_kf, cfg)
+    # single deferred rebuild for all the list mutations above (BA outlier
+    # erase, keyframe cull) — consumers in between back-check kf_obs
+    return mt.rebuild_observation_lists(m)
+
+
 def mapping_step(
     m: SlamMap,
     new_kf,
@@ -698,49 +789,20 @@ def mapping_step(
     point culling -> triangulation with top covisible neighbors ->
     cross-neighbor fuse -> statistics refresh -> local BA -> keyframe
     culling. Pure function of the map; jit-compiled by the pipeline
-    (tracking/system.py) with cfg static."""
-    from ..optim.ba_extract import extract_local_ba, write_back_ba
+    (tracking/system.py) with cfg static. The fused single-program variant;
+    the staged pipeline (mapping_pre + BA chunks + mapping_finish) computes
+    the same pass abortably."""
     from ..optim.local_ba import solve_ba
 
-    if n_neighbors is None:
-        n_neighbors = cfg.mapping.triangulation_neighbors
-
-    if run_culling:
-        m = cull_map_points(m, new_kf, cfg)
-
-    W = covisibility_matrix(m)
-    vals, idx = jax.lax.top_k(W[new_kf], min(n_neighbors, m.max_kf))
-    m = triangulate_with_neighbors(
-        m, new_kf, idx, vals > 0, K, scale_factors, sigma2, cfg
+    m, prob, cam_ids, point_ids = mapping_pre(
+        m, new_kf, K, scale_factors, sigma2, inv_sigma2, cfg,
+        n_neighbors=n_neighbors, run_ba=run_ba, run_culling=run_culling,
     )
-
-    m = fuse_in_neighbors(m, new_kf, idx, vals > 0, K, scale_factors, sigma2, cfg)
-
-    # stats refresh restricted to the points this pass could have touched:
-    # everything observed by the new keyframe or any covisible keyframe
-    # (superset of the triangulated/fused/merged sets)
-    from ..slam_map.point_stats import refresh_point_stats_touched
-
-    sel_kf = (W[new_kf] > 0) | (jnp.arange(m.max_kf) == new_kf)
-    flat = jnp.where((sel_kf & m.kf_valid)[:, None], m.kf_obs, -1).reshape(-1)
-    touched = jnp.zeros(m.max_mp, bool).at[
-        jnp.where(flat >= 0, flat, m.max_mp)
-    ].set(True, mode="drop")
-    m = refresh_point_stats_touched(m, scale_factors, touched)
-
+    res = None
     if run_ba:
-        prob, cam_ids, point_ids = extract_local_ba(
-            m, new_kf, K, inv_sigma2,
-            window=cfg.capacity.local_ba_window,
-            n_fixed=cfg.capacity.local_ba_window,
-            max_points=cfg.capacity.local_ba_points,
-            bf=cfg.camera.baseline_times_fx,
+        res = solve_ba(
+            prob, cfg.optim.local_ba_iters1, cfg.optim.local_ba_iters2
         )
-        res = solve_ba(prob, cfg.optim.local_ba_iters1, cfg.optim.local_ba_iters2)
-        m = write_back_ba(m, res, prob, cam_ids, point_ids, rebuild=False)
-
-    if run_culling:
-        m = cull_keyframes(m, new_kf, cfg)
-    # single deferred rebuild for all the list mutations above (BA outlier
-    # erase, keyframe cull) — consumers in between back-check kf_obs
-    return mt.rebuild_observation_lists(m)
+    return mapping_finish(
+        m, new_kf, res, prob, cam_ids, point_ids, cfg, run_culling=run_culling
+    )

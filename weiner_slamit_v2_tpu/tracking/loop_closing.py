@@ -52,6 +52,7 @@ class LoopCloser:
         self.last_loop_kf = -1_000
         self.consistency_counts: dict[int, int] = {}
         self.n_loops_closed = 0
+        self.gba_chunks_issued = 0
         self.run_global_ba = True
         # stereo/RGB-D maps are metric: Sim3 scale is frozen everywhere
         # (bFixScale — src/LoopClosing.cc:73, src/Sim3Solver.cc:37-112)
@@ -65,33 +66,88 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def _enqueue_global_ba(self, gauge_kf: int):
-        """Launch the full-map BA as an async device computation."""
+        """Launch the full-map BA as an async device computation, sliced
+        into LM chunks so a supersede (new loop / reset) stops issuing work
+        mid-run — the mbStopGBA protocol (src/LoopClosing.cc:429-442,
+        :658-688). The robust phase launches now; refinement chunks are
+        issued from poll_global_ba."""
         from ..optim.ba_extract import extract_global_ba
-        from ..optim.local_ba import solve_ba
+        from ..optim.local_ba import ba_phase1
 
         t = self.tracker
+        cfg = self.cfg
         prob, cam_ids, point_ids = extract_global_ba(
             t.m, t.K, t.inv_sigma2, gauge_kf=gauge_kf,
-            bf=self.cfg.camera.baseline_times_fx,
+            bf=cfg.camera.baseline_times_fx,
         )
-        res = solve_ba(prob, 5, self.cfg.optim.global_ba_iters - 5)
+        per = max(cfg.tracking.ba_chunk_iters, 1)
+        n_refine = max(cfg.optim.global_ba_iters - 5, 0)
+        state = ba_phase1(prob, n_iters=5)
+        self.gba_chunks_issued += 1
         self._pending_gba = dict(
-            res=res, cam_ids=cam_ids, point_ids=point_ids,
+            res=None, prob=prob, state=state,
+            chunks_left=-(-n_refine // per) if n_refine else 0,
+            cam_ids=cam_ids, point_ids=point_ids,
             pose_snap=t.m.kf_pose, n_kf_snap=t.n_kf_host,
         )
 
     def discard_pending_gba(self):
+        """Supersede the running GBA (mbStopGBA): the state is dropped and
+        NO further chunks are issued."""
         self._pending_gba = None
 
+    def _advance_gba(self, g: dict, eager: bool = False) -> bool:
+        """Issue the next refinement chunk / finalize once the previous
+        program resolved (eager=True chains without waiting). True when the
+        final result future exists."""
+        from ..optim.local_ba import ba_finalize, ba_phase2_chunk
+
+        if g["res"] is not None:
+            return True
+        cam_pose, points, lam, inlier = g["state"]
+        if not (eager or self._gba_state_ready(g)):
+            return False
+        if g["chunks_left"] > 0:
+            g["state"] = (
+                *ba_phase2_chunk(
+                    g["prob"], cam_pose, points, lam, inlier,
+                    n_iters=self.cfg.tracking.ba_chunk_iters,
+                ),
+                inlier,
+            )
+            g["chunks_left"] -= 1
+            self.gba_chunks_issued += 1
+            return False
+        g["res"] = ba_finalize(g["prob"], cam_pose, points)
+        return True
+
+    @staticmethod
+    def _gba_state_ready(g: dict) -> bool:
+        leaf = g["state"][0]
+        return not hasattr(leaf, "is_ready") or leaf.is_ready()
+
     def poll_global_ba(self, force: bool = False) -> bool:
-        """Adopt a finished global BA; True if one was adopted. Keyframes
-        created while the BA ran are corrected through the spanning tree,
-        points created meanwhile through their first observer — exactly the
-        reference's post-GBA propagation (src/LoopClosing.cc:689-748).
-        A reset since enqueue supersedes the result (it is dropped)."""
+        """Advance/adopt the concurrent global BA; True if one was adopted.
+        Keyframes created while the BA ran are corrected through the
+        spanning tree, points created meanwhile through their first
+        observer — exactly the reference's post-GBA propagation
+        (src/LoopClosing.cc:689-748). A reset or a new loop since enqueue
+        supersedes the run (discard_pending_gba): remaining chunks are
+        simply never issued."""
         g = self._pending_gba
         if g is None:
             return False
+        if force:
+            while not self._advance_gba(g, eager=True):
+                pass
+        else:
+            progressed = True
+            while progressed and g["res"] is None:
+                left = g["chunks_left"]
+                done = self._advance_gba(g)
+                progressed = done or g["chunks_left"] != left
+            if g["res"] is None:
+                return False
         if not (force or g["res"].cam_pose.is_ready()):
             return False
         self._pending_gba = None
@@ -223,7 +279,7 @@ class LoopCloser:
         # --- 3. guided SearchBySim3 widening (LoopClosing.cc:333-343) ------
         idx2 = search_by_sim3(
             m, jnp.asarray(kf_id), jnp.asarray(cand), S12,
-            jnp.asarray(7.5), t.K, t.scale_factors,
+            jnp.asarray(7.5), t.K, t.scale_factors, t.params.bounds,
         )
         idx = jnp.where(idx >= 0, idx, idx2)
 
@@ -246,7 +302,7 @@ class LoopCloser:
         S_cw = S12 @ sim3.from_se3(m.kf_pose[cand])
         matched_loop = _project_loop_points(
             m, jnp.asarray(kf_id), S_cw, loop_mask, jnp.asarray(10.0),
-            t.K, t.scale_factors,
+            t.K, t.scale_factors, t.params.bounds,
         )
         n_total = int((matched_loop >= 0).sum())
         if n_total < cfg.loop.min_total_matches:
@@ -349,6 +405,10 @@ class LoopCloser:
         # tree propagation to keyframes/points created meanwhile — once the
         # device finishes (poll_global_ba, driven by System._pre_frame)
         if self.run_global_ba:
+            # a GBA still running from a previous loop is superseded: its
+            # remaining chunks are never issued (mbStopGBA,
+            # src/LoopClosing.cc:429-442)
+            self.discard_pending_gba()
             self._enqueue_global_ba(gauge_kf=cand)
 
 
@@ -455,7 +515,7 @@ def _refine_sim3_on_matches(
 
 
 @jax.jit
-def search_by_sim3(m, kf1, kf2, S12, th, K, scale_factors):
+def search_by_sim3(m, kf1, kf2, S12, th, K, scale_factors, bounds):
     """ORBmatcher::SearchBySim3 (src/ORBmatcher.cc:1106-1328): project each
     keyframe's map points into the other through the Sim3 and keep mutual
     agreements. Returns idx (N,) feature-of-kf1 -> feature-of-kf2 (-1)."""
@@ -478,7 +538,8 @@ def search_by_sim3(m, kf1, kf2, S12, th, K, scale_factors):
             has & (z > 0)
             & (dist3 >= 0.8 * m.mp_min_dist[mp])
             & (dist3 <= 1.2 * m.mp_max_dist[mp])
-            & (u >= 0) & (u < 2 * cx) & (v >= 0) & (v < 2 * cy)
+            & (u >= bounds[0]) & (u < bounds[1])
+            & (v >= bounds[2]) & (v < bounds[3])
         )
         pred = predict_octave(dist3, m.mp_max_dist[mp], scale_factors[1], L)
         win = th * scale_factors[jnp.clip(pred, 0, L - 1)]
@@ -530,7 +591,7 @@ def _points_of_group(m, group_mask):
 
 
 @jax.jit
-def _project_loop_points(m, kf, S_cw, loop_mask, th, K, scale_factors):
+def _project_loop_points(m, kf, S_cw, loop_mask, th, K, scale_factors, bounds):
     """SearchByProjection with a Sim3 world->camera (ORBmatcher.cc:294-407):
     match loop-region points against the current keyframe's features.
     Returns (N,) loop map-point id per feature (-1 = none); features that
@@ -553,7 +614,8 @@ def _project_loop_points(m, kf, S_cw, loop_mask, th, K, scale_factors):
         okp & (z > 0)
         & (dist3 >= 0.8 * m.mp_min_dist[pid])
         & (dist3 <= 1.2 * m.mp_max_dist[pid])
-        & (u >= 0) & (u < 2 * cx) & (v >= 0) & (v < 2 * cy)
+        & (u >= bounds[0]) & (u < bounds[1])
+        & (v >= bounds[2]) & (v < bounds[3])
     )
     pred = predict_octave(dist3, m.mp_max_dist[pid], scale_factors[1], L)
     win = th * scale_factors[jnp.clip(pred, 0, L - 1)]

@@ -24,7 +24,7 @@ import numpy as np
 from ..config import SlamConfig
 from ..geometry.camera import Camera
 from ..io import trajectory as traj_io
-from .local_mapping import mapping_step
+from .local_mapping import mapping_finish, mapping_pre, mapping_step
 from .tracker import Tracker, TrackerOutput
 
 # The whole local-mapping pass is ONE jit program per (cfg, n_neighbors):
@@ -35,6 +35,27 @@ _mapping_step_jit = jax.jit(
     mapping_step,
     static_argnames=("cfg", "n_neighbors", "run_ba", "run_culling"),
 )
+
+# Staged (abortable) pipeline: structure pass, then BA in separate chunk
+# programs, then write-back — the host stops issuing chunks to abort
+# (mbAbortBA, src/LocalMapping.cc:127,681-684).
+_mapping_pre_jit = jax.jit(
+    mapping_pre,
+    static_argnames=("cfg", "n_neighbors", "run_ba", "run_culling"),
+)
+_mapping_finish_jit = jax.jit(
+    mapping_finish, static_argnames=("cfg", "run_culling")
+)
+
+
+def _ready(x) -> bool:
+    """True when an async device pytree has resolved. All outputs of one
+    program complete together, so the first leaf's readiness suffices —
+    is_ready costs a tunnel round trip per call on this platform."""
+    for leaf in jax.tree.leaves(x):
+        if hasattr(leaf, "is_ready"):
+            return leaf.is_ready()
+    return True
 
 
 @jax.jit
@@ -96,6 +117,11 @@ class System:
         self._pending_kf = -1
         self._pending_counters = None
         self._mapping_enqueued_frame = -(10**9)
+        # staged (abortable) pass state + chunk accounting (observable by
+        # tests: a forced insertion mid-BA must leave chunks unissued)
+        self._stage = None
+        self.ba_chunks_issued = 0
+        self.ba_chunks_aborted = 0
 
     # ------------------------------------------------------------------
     # Pipelined dataflow: the analogue of the reference's LocalMapping
@@ -114,6 +140,7 @@ class System:
         self._pending_map = None
         self._pending_kf = -1
         self._pending_counters = None
+        self._stage = None
         if self.loop_closer is not None:
             self.loop_closer.discard_pending_gba()
 
@@ -128,9 +155,24 @@ class System:
         if self.mapping_device is not None:
             # pipeline parallelism: ship the snapshot to the mapper chip
             args = jax.device_put(args, self.mapping_device)
-        self._pending_map = _mapping_step_jit(
-            *args, self.cfg, n_neighbors=self.mapping_neighbors,
-        )
+        if self.cfg.tracking.abortable_ba:
+            # staged pipeline: structure pass now; BA chunks are issued from
+            # subsequent polls (and skipped entirely when a forced insertion
+            # aborts — the mbAbortBA analogue, src/LocalMapping.cc:127)
+            m2, prob, cam_ids, point_ids = _mapping_pre_jit(
+                *args, self.cfg, n_neighbors=self.mapping_neighbors,
+            )
+            self._stage = dict(
+                name="pre", kf=kf_id, m=m2, prob=prob,
+                cam_ids=cam_ids, point_ids=point_ids,
+                ba_state=None, chunks_left=self._n_ba_chunks,
+            )
+            self._pending_map = None
+        else:
+            self._pending_map = _mapping_step_jit(
+                *args, self.cfg, n_neighbors=self.mapping_neighbors,
+            )
+            self._stage = None
         self._pending_kf = kf_id
         # snapshot of the found/visible counters at enqueue time: tracking
         # keeps incrementing them while the pass is in flight, and adoption
@@ -139,19 +181,126 @@ class System:
         self._pending_counters = (t.m.mp_visible, t.m.mp_found)
         self._mapping_enqueued_frame = t.frame_id
 
-    def mapper_idle(self, force: bool = False) -> bool:
-        """Adopt a finished mapping pass; True when no pass is in flight.
-        force=True blocks until the pending pass completes (the analogue of
-        the reference's InterruptBA + queue drain on c1a)."""
-        if self._pending_map is None:
+    # -- staged-BA scheduler -------------------------------------------
+    @property
+    def _n_ba_chunks(self) -> int:
+        o = self.cfg.optim
+        per = max(self.cfg.tracking.ba_chunk_iters, 1)
+        return -(-o.local_ba_iters2 // per)  # ceil
+
+    def _advance_stage(self, abort: bool = False, eager: bool = False) -> bool:
+        """Advance the staged mapping pass by launching the next device
+        program once the current one resolved. abort=True skips every
+        remaining BA chunk and finalizes from the best-so-far state
+        (mbAbortBA); eager=True launches the next program without waiting
+        for readiness (device queues are FIFO, so a blocking drain can chain
+        everything and wait once). Returns True when the final map future is
+        in self._pending_map."""
+        from ..optim.local_ba import (
+            BA_LAMBDA_INIT, ba_finalize, ba_phase1, ba_phase2_chunk,
+        )
+
+        s = self._stage
+        if s is None:
+            return self._pending_map is not None
+        cfg = self.cfg
+        if s["name"] == "pre":
+            if not (abort or eager or _ready(s["m"])):
+                return False
+            if abort or s["prob"] is None:
+                # fully aborted before BA started: write-back skipped
+                self.ba_chunks_aborted += s["chunks_left"] + 1
+                self._pending_map = _mapping_finish_jit(
+                    s["m"], jnp.asarray(s["kf"]), None, None, None, None,
+                    cfg,
+                )
+                self._stage = None
+                return True
+            s["ba_state"] = ba_phase1(
+                s["prob"], n_iters=cfg.optim.local_ba_iters1,
+            )
+            s["name"] = "ba"
+            self.ba_chunks_issued += 1
+            return False
+        if s["name"] == "ba":
+            if not (abort or eager or _ready(s["ba_state"])):
+                return False
+            cam_pose, points, lam, inlier = s["ba_state"]
+            if not abort and s["chunks_left"] > 0:
+                s["ba_state"] = (
+                    *ba_phase2_chunk(
+                        s["prob"], cam_pose, points,
+                        jnp.asarray(BA_LAMBDA_INIT)
+                        if s["chunks_left"] == self._n_ba_chunks else lam,
+                        inlier, n_iters=cfg.tracking.ba_chunk_iters,
+                    ),
+                    inlier,
+                )
+                s["chunks_left"] -= 1
+                self.ba_chunks_issued += 1
+                return False
+            # done (or aborted mid-BA): finalize best-so-far + write back
+            self.ba_chunks_aborted += s["chunks_left"] if abort else 0
+            res = ba_finalize(s["prob"], cam_pose, points)
+            self._pending_map = _mapping_finish_jit(
+                s["m"], jnp.asarray(s["kf"]), res, s["prob"],
+                s["cam_ids"], s["point_ids"], cfg,
+            )
+            self._stage = None
             return True
+        raise AssertionError(s["name"])
+
+    def mapper_idle(self, force: bool = False, abort: bool = False) -> bool:
+        """Adopt a finished mapping pass; True when no pass is in flight.
+        force=True blocks until the pass is adopted. abort=True additionally
+        skips every not-yet-issued BA chunk, adopting the best-so-far BA
+        state — the InterruptBA analogue for forced keyframe insertion
+        (src/Tracking.cc:1287-1303, src/LocalMapping.cc:127,681-684);
+        force without abort (finish/shutdown) drains the FULL schedule."""
+        chained = False
+        if self._stage is not None:
+            if abort:
+                self._advance_stage(abort=True)
+            elif force or (
+                self.tracker.frame_id - self._mapping_enqueued_frame
+                >= self.cfg.tracking.mapping_latency_frames
+            ):
+                # the mapper has had its latency budget (or a blocking
+                # drain): chain every remaining stage now — device queues
+                # are FIFO, so this reproduces the fused pass's turnaround;
+                # abortability covers the polls BEFORE the floor, which is
+                # when c1c forced insertions actually fire
+                while self._stage is not None:
+                    self._advance_stage(eager=True)
+                chained = True
+            else:
+                # advance lazily: launch the next stage only once its
+                # predecessor resolved, keeping later chunks unissued so a
+                # forced insertion can still abort them
+                progressed = True
+                while self._stage is not None and progressed:
+                    before = (
+                        self._stage["name"], self._stage["chunks_left"],
+                    )
+                    self._advance_stage()
+                    progressed = (
+                        self._stage is not None
+                        and (self._stage["name"], self._stage["chunks_left"])
+                        != before
+                    )
+        if self._pending_map is None:
+            return self._stage is None
         # frame-based latency floor: the per-frame scalar sync drains the
         # device queue (so is_ready alone would report idle immediately);
         # this models the reference mapper's multi-frame turnaround
         busy_frames = self.tracker.frame_id - self._mapping_enqueued_frame
         if not force and busy_frames < self.cfg.tracking.mapping_latency_frames:
             return False
-        if not (force or self._pending_map.kf_pose.is_ready()):
+        # `chained`: the staged schedule was fully issued this poll because
+        # the floor already expired — adopt now (the swap is an async pytree
+        # exchange; device FIFO ordering keeps every consumer correct), so
+        # staged and fused pipelines share the same adoption frame
+        if not (force or chained or self._pending_map.kf_pose.is_ready()):
             return False
         # resolve pipelined tracked frames BEFORE swapping the map: a late
         # keyframe decision must freeze into the map those frames were
@@ -161,7 +310,7 @@ class System:
         kf_token = self._pending_kf
         self.tracker.flush_pending()
         if self._pending_kf != kf_token:
-            return self._pending_map is None
+            return self._pending_map is None and self._stage is None
         m = self._pending_map
         kf_id = self._pending_kf
         snap_counters = self._pending_counters
@@ -306,7 +455,11 @@ class System:
         # adopt a finished concurrent global BA — only while no mapping pass
         # is in flight (the pass's snapshot predates the BA adoption and
         # would overwrite its corrections)
-        if self.loop_closer is not None and self._pending_map is None:
+        if (
+            self.loop_closer is not None
+            and self._pending_map is None
+            and self._stage is None
+        ):
             self.loop_closer.poll_global_ba()
         # keyframe pool nearly exhausted -> compact (ids are never reused,
         # so long sequences outgrow the static pool even after culling).

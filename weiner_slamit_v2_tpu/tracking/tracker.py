@@ -60,9 +60,12 @@ class TrackParams:
     th_high: jnp.ndarray
     local_th: jnp.ndarray           # local-map window multiplier (1 / 5 after reloc)
     lm_lambda: jnp.ndarray          # pose-LM initial damping
+    bounds: jnp.ndarray             # (4,) undistorted image bounds (Frame.cc:561)
 
     @staticmethod
     def from_config(cfg: SlamConfig) -> "TrackParams":
+        from ..geometry.camera import bounds_from_config
+
         t, mc, o = cfg.tracking, cfg.matcher, cfg.optim
         f32 = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
         i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
@@ -82,6 +85,7 @@ class TrackParams:
             th_high=i32(mc.th_high),
             local_th=f32(1.0),
             lm_lambda=f32(o.lm_lambda_init),
+            bounds=jnp.asarray(bounds_from_config(cfg.camera)),
         )
 
 
@@ -204,6 +208,7 @@ def _track_local_map(
     th_high: jnp.ndarray,
     max_local_points: int = 4096,
     local_kf_cap: int = 80,
+    bounds: jnp.ndarray | None = None,
 ):
     """TrackLocalMap's point harvest + projection matching
     (Tracking::UpdateLocalKeyFrames/SearchLocalPoints,
@@ -248,12 +253,17 @@ def _track_local_map(
     ray = X - C
     dist = jnp.linalg.norm(ray, axis=1)
     viewcos = jnp.sum(ray * m.mp_normal, axis=1) / jnp.maximum(dist, 1e-9)
-    H = 2.0 * K[1, 2]
-    Wd = 2.0 * K[0, 2]
+    # undistorted image bounds (Frame::ComputeImageBounds, Frame.cc:561-589);
+    # fall back to the symmetric-principal-point box when not supplied
+    if bounds is None:
+        bounds = jnp.stack(
+            [0.0 * K[0, 2], 2.0 * K[0, 2], 0.0 * K[1, 2], 2.0 * K[1, 2]]
+        )
     in_frustum = (
         cand
         & (z > 0)
-        & (u >= 0) & (u < Wd) & (v >= 0) & (v < H)
+        & (u >= bounds[0]) & (u < bounds[1])
+        & (v >= bounds[2]) & (v < bounds[3])
         & (dist >= 0.8 * m.mp_min_dist) & (dist <= 1.2 * m.mp_max_dist)
         & (viewcos > 0.5)
     )
@@ -324,6 +334,162 @@ def _pose_opt_on_obs(
     )
     cur_obs = jnp.where(inl | ~has, cur_obs, -1)
     return Tcw, cur_obs, n_inl
+
+
+def _reloc_widen(
+    m: SlamMap,
+    feats: FrameFeatures,
+    cand: jnp.ndarray,
+    cur_obs: jnp.ndarray,
+    Tcw: jnp.ndarray,
+    K: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    n_levels: int,
+    window_th: float,
+    orb_dist: int,
+    histo_bins: int,
+) -> jnp.ndarray:
+    """The relocalization SearchByProjection overload
+    (ORBmatcher.cc:1476-1604): project the candidate keyframe's map points
+    that are NOT already found into the current frame; window
+    th*scale(predicted level), level gate [pred-1, pred+1], plain descriptor
+    gate ORBdist (no ratio test in this overload), rotation histogram.
+    Returns cur_obs with the additional matches scattered in."""
+    from ..slam_map.point_stats import predict_octave
+
+    obs_kf = m.kf_obs[cand]
+    has = (obs_kf >= 0) & m.kf_feat_valid[cand]
+    mp = jnp.maximum(obs_kf, 0)
+    has = has & m.mp_valid[mp]
+    # sAlreadyFound: skip points the frame already holds
+    already = jnp.zeros(m.max_mp, bool).at[
+        jnp.where(cur_obs >= 0, jnp.maximum(cur_obs, 0), m.max_mp)
+    ].set(True, mode="drop")
+    has = has & ~already[mp]
+
+    X = m.mp_pos[mp]
+    Pc = se3.apply(Tcw, X)
+    z = Pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    pred = jnp.stack(
+        [K[0, 0] * Pc[:, 0] / zs + K[0, 2], K[1, 1] * Pc[:, 1] / zs + K[1, 2]],
+        axis=1,
+    )
+    has = has & (z > 0)
+    C = -jnp.einsum("ji,j->i", Tcw[:3, :3], Tcw[:3, 3])
+    dist3 = jnp.linalg.norm(X - C, axis=1)
+    pred_oct = predict_octave(dist3, m.mp_max_dist[mp], scale_factors[1], n_levels)
+    win = window_th * scale_factors[jnp.clip(pred_oct, 0, n_levels - 1)]
+    free = feats.valid & (cur_obs < 0)
+    idx, _ = matcher.match_with_window(
+        jnp.where(has[:, None], m.mp_desc[mp], 0),
+        feats.desc,
+        has,
+        free,
+        pred_xy=pred,
+        xy2=feats.xy_und,
+        window=win,
+        max_dist=orb_dist,
+        nn_ratio=1e6,  # best-only acceptance (ORBmatcher.cc:1560-1575)
+        octave2=feats.octave,
+        octave_lo=jnp.clip(pred_oct - 1, 0, n_levels - 1),
+        octave_hi=jnp.clip(pred_oct + 1, 0, n_levels - 1),
+        angle1=m.kf_angle[cand],
+        angle2=feats.angle,
+        histo_bins=histo_bins,
+    )
+    n = feats.n
+    ok = idx >= 0
+    return cur_obs.at[jnp.where(ok, idx, n)].set(
+        jnp.where(ok, mp, -1), mode="drop"
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_levels", "histo_bins", "accept_n", "min_bow_matches"),
+)
+def _reloc_program(
+    m: SlamMap,
+    feats: FrameFeatures,
+    cands: jnp.ndarray,     # (C,) candidate keyframe ids (padded)
+    cand_ok: jnp.ndarray,   # (C,) bool
+    keys: jnp.ndarray,      # (C, 2) PRNG keys
+    K: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    nn_ratio_bow: jnp.ndarray,
+    th_low: jnp.ndarray,
+    ur: jnp.ndarray | None,
+    bf: jnp.ndarray,
+    n_levels: int,
+    histo_bins: int,
+    accept_n: int,
+    min_bow_matches: int = 15,
+):
+    """The full per-candidate relocalization cascade as ONE vmapped device
+    program (Tracking::Relocalization, src/Tracking.cc:1687-1816):
+    BoW-style matching -> RANSAC PnP -> PoseOptimization -> if nGood<50 a
+    wide SearchByProjection(th=10, ORBdist=100) retry -> if 30<nGood<50 a
+    narrow (th=3, ORBdist=64) retry. The host performs ONE scalar fetch for
+    the whole lost frame (the (C,) inlier counts) instead of 2-3 blocking
+    fetches per candidate (~22 ms each on this platform, PLATFORM.md §1).
+    Returns (n_good (C,), Tcw (C,4,4), cur_obs (C,N))."""
+
+    def one_candidate(cand, okc, key):
+        kf_obs = m.kf_obs[cand]
+        ref_has = (kf_obs >= 0) & m.kf_feat_valid[cand] & okc
+        idx, _ = matcher.match_by_descriptor(
+            m.kf_desc[cand], feats.desc, ref_has, feats.valid,
+            max_dist=th_low, nn_ratio=nn_ratio_bow,
+            angle1=m.kf_angle[cand], angle2=feats.angle,
+            histo_bins=histo_bins,
+        )
+        n = feats.n
+        okm = idx >= 0
+        cur_obs = jnp.full((n,), -1, jnp.int32).at[
+            jnp.where(okm, idx, n)
+        ].set(jnp.where(okm, kf_obs, -1), mode="drop")
+        n_matches = okm.sum()
+
+        has = (cur_obs >= 0) & m.mp_valid[jnp.maximum(cur_obs, 0)]
+        X = m.mp_pos[jnp.maximum(cur_obs, 0)]
+        w = inv_sigma2[jnp.clip(feats.octave, 0, n_levels - 1)]
+        Tcw0, inl, n_inl = ransac_pnp(X, feats.xy_und, has, w, K, key)
+
+        # round 1: motion-only optimization on the PnP inliers
+        Tcw1, obs1, n1 = _pose_opt_on_obs(
+            m, feats, jnp.where(inl, cur_obs, -1), Tcw0, K, inv_sigma2,
+            ur=ur, bf=bf,
+        )
+
+        def widen(obs, Tcw, th, od):
+            obs_w = _reloc_widen(
+                m, feats, cand, obs, Tcw, K, scale_factors, n_levels,
+                th, od, histo_bins,
+            )
+            return _pose_opt_on_obs(
+                m, feats, obs_w, Tcw, K, inv_sigma2, ur=ur, bf=bf
+            )
+
+        # round 2: wide retry when 10 <= nGood < 50 (Tracking.cc:1765-1785)
+        do2 = (n1 < accept_n) & (n1 >= 10)
+        Tcw2, obs2, n2 = jax.lax.cond(
+            do2,
+            lambda: widen(obs1, Tcw1, 10.0, 100),
+            lambda: (Tcw1, obs1, n1),
+        )
+        # round 3: narrow retry when 30 < nGood < 50 (Tracking.cc:1787-1808)
+        do3 = do2 & (n2 > 30) & (n2 < accept_n)
+        Tcw3, obs3, n3 = jax.lax.cond(
+            do3,
+            lambda: widen(obs2, Tcw2, 3.0, 64),
+            lambda: (Tcw2, obs2, n2),
+        )
+        good = okc & (n_matches >= min_bow_matches) & (n_inl >= 10)
+        return jnp.where(good, n3, 0), Tcw3, obs3
+
+    return jax.vmap(one_candidate)(cands, cand_ok, keys)
 
 
 def _update_point_counters(m: SlamMap, visible, cur_obs):
@@ -465,6 +631,7 @@ def _track_step_impl(
         m, feats, obs_d, Tcw1, K, scale_factors, p.local_th, n_levels,
         p.nn_ratio_localmap, p.th_high,
         max_local_points=max_local_points, local_kf_cap=local_kf_cap,
+        bounds=p.bounds,
     )
     Tcw2, obs_f, n_i2 = _pose_opt_on_obs(
         m, feats, obs_e, Tcw1, K, inv_sigma2, pose_rounds, pose_iters,
@@ -923,7 +1090,10 @@ class Tracker:
         if (
             self.state == OK and mono and cfgt.frames_per_sync > 1
             and self.n_kf_host >= cfgt.pipeline_warmup_kfs
-            and not just_reloc and not self._pending_frames
+            and not just_reloc
+            and all(
+                isinstance(r["scalars"], tuple) for r in self._pending_frames
+            )  # scan-batch records may stay deferred; per-frame ones may not
         ):
             if self._posenet_fn is not None:
                 self.last_person = self._posenet_fn(self._posenet_params, img_dev)
@@ -1335,7 +1505,10 @@ class Tracker:
         self._last_feats_batched = feats_s
         self._carry_oct = loct_n
         self._carry_ang = lang_n
-        self._batch_counters = snapshot
+        if self._batch_counters is None:
+            # snapshot at the head of the UNRESOLVED window (advanced as
+            # prefixes resolve — see _resolve_pending)
+            self._batch_counters = snapshot
         for i, rec in enumerate(recs):
             self._pending_frames.append(dict(
                 scalars=("sliced", scalars_s, i),
@@ -1347,7 +1520,14 @@ class Tracker:
                 recent_reloc=rec["recent_reloc"], depth=None,
                 inc_bits=("sliced", inc_s, i),
             ))
-        self._resolve_pending()
+        # DELAYED RESOLUTION: the just-launched batch stays deferred; only
+        # older batches resolve now. The host's blocking scalar fetch then
+        # waits on a batch the device finished while this one was being
+        # assembled — and the device proceeds straight into the new scan
+        # instead of idling through the ~22 ms host round trip + decision
+        # code (the fetch used to cost ~87 ms/batch of pure serialization,
+        # tools/profile_live.py).
+        self._resolve_pending(keep_last=len(recs))
 
     def _drain_img_buffer(self):
         """Track any buffered-but-unscanned frames (full batch via the scan,
@@ -1356,27 +1536,36 @@ class Tracker:
             return
         self._run_scan_batch()
 
-    def _resolve_pending(self):
-        """Resolve the deferred state machine for all pipelined frames with
-        ONE device->host fetch (frames_per_sync > 1 mode). Walks the records
-        in order: appends trajectory entries, replays the LOST test and the
+    def _resolve_pending(self, keep_last: int = 0):
+        """Resolve the deferred state machine for pipelined frames with ONE
+        device->host fetch (frames_per_sync > 1 mode). Walks the records in
+        order: appends trajectory entries, replays the LOST test and the
         NeedNewKeyFrame decision per frame (a keyframe is created from the
         stored device arrays of the frame that earned it — up to N-1 frames
         late, the same lateness the reference's mapping thread already
-        imposes on keyframe processing)."""
+        imposes on keyframe processing).
+
+        keep_last > 0 defers the newest `keep_last` records (the scan batch
+        launched this turn): their scalars resolve on the NEXT batch
+        boundary, overlapping the host's blocking fetch with the device's
+        next scan. A loss detected in the resolved prefix marks the deferred
+        suffix lost as well (it chained on garbage)."""
         if not self._pending_frames:
             return
         recs = self._pending_frames
+        n_res = len(recs) - keep_last if keep_last else len(recs)
+        if n_res <= 0:
+            return
         self._pending_frames = []
         batch_counters = self._batch_counters
         self._batch_counters = None
         # one fetch per distinct stacked parent (= per scan batch) — a scan
         # batch's scalars arrive already stacked; per-frame records (depth/
         # stereo pipelined mode) are stacked here into one extra fetch
-        svecs: list = [None] * len(recs)
+        svecs: list = [None] * n_res
         plain_j, plain_v = [], []
         parents: dict = {}
-        for j, r in enumerate(recs):
+        for j, r in enumerate(recs[:n_res]):
             s = r["scalars"]
             if isinstance(s, tuple) and s[0] == "sliced":
                 parents.setdefault(id(s[1]), (s[1], []))[1].append((j, s[2]))
@@ -1393,7 +1582,7 @@ class Tracker:
                 svecs[j] = a[i]
         cfg = self.cfg
         last_created_fid = None
-        for i, (rec, s) in enumerate(zip(recs, svecs)):
+        for i, (rec, s) in enumerate(zip(recs[:n_res], svecs)):
             n_i2 = int(s[S_N_INL2])
             n_kf_valid = int(s[S_N_KF])
             min_local = (
@@ -1454,6 +1643,32 @@ class Tracker:
                 self.trajectory.append((rec["ts"], self._eye4, self.ref_kf))
             else:
                 self.trajectory.append((rec["ts"], rec["T_cr"], rec["ref_kf"]))
+
+        # prefix resolved OK: the deferred suffix (the just-launched scan
+        # batch) stays pending; advance the rollback snapshot past the
+        # resolved batches' counter increments (grouped per stacked parent —
+        # one tiny program per batch, no per-frame slicing)
+        if keep_last:
+            self._pending_frames = recs[n_res:]
+        if self._pending_frames and batch_counters is not None:
+            snap_v, snap_f = batch_counters
+            seen: set[int] = set()
+            for r in recs[:n_res]:
+                ib = r["inc_bits"]
+                if isinstance(ib, tuple) and ib[0] == "sliced":
+                    if id(ib[1]) in seen:
+                        continue
+                    seen.add(id(ib[1]))
+                    pv, pf = ib[1]
+                    snap_v, snap_f = _counters_at(
+                        snap_v, snap_f, pv, pf, jnp.asarray(pv.shape[0])
+                    )
+                else:
+                    snap_v, snap_f = _counters_at(
+                        snap_v, snap_f, ib[0][None], ib[1][None],
+                        jnp.asarray(1),
+                    )
+            self._batch_counters = (snap_v, snap_f)
 
     def _traj_stack(self) -> jnp.ndarray:
         """(F, 4, 4) stacked trajectory relatives. Lazy entries from scan
@@ -1627,7 +1842,9 @@ class Tracker:
             n_inliers < n_ref * 0.25 or need_close
         )
         if (c1a or c1c) and not idle:
-            self.mapper_idle_hook(force=True)
+            # InterruptBA (src/LocalMapping.cc:127): abort queued BA chunks
+            # and adopt best-so-far instead of blocking on the full schedule
+            self.mapper_idle_hook(force=True, abort=True)
             idle = True
         return bool(c1a or c1b or c1c)
 
@@ -1742,63 +1959,41 @@ class Tracker:
 
     def _relocalize(self, feats: FrameFeatures, ts: float) -> TrackerOutput:
         """Relocalization (Tracking::Relocalization,
-        src/Tracking.cc:1628-1833): BoW candidates -> descriptor matching ->
-        RANSAC PnP -> pose optimization, accept at >= reloc_min_inliers."""
+        src/Tracking.cc:1628-1833): BoW candidates -> per-candidate staged
+        cascade (PnP -> PoseOptimization -> wide th=10/ORBdist=100 retry ->
+        narrow th=3/ORBdist=64 retry) as ONE vmapped device program with ONE
+        scalar fetch per lost frame; accept at >= reloc_min_inliers, then
+        widen with the local map for the session restart."""
         cfg = self.cfg
         m = self.m
-        best = None
-        for cand in self._reloc_candidates(feats):
-            kf_obs = m.kf_obs[cand]
-            ref_has = (kf_obs >= 0) & m.kf_feat_valid[cand]
-            idx, dist = matcher.match_by_descriptor(
-                m.kf_desc[cand], feats.desc, ref_has, feats.valid,
-                max_dist=cfg.matcher.th_low,
-                nn_ratio=cfg.matcher.nn_ratio_bow,
-                angle1=m.kf_angle[cand], angle2=feats.angle,
-            )
-            n = feats.n
-            ok = idx >= 0
-            cur_obs = jnp.full((n,), -1, jnp.int32).at[
-                jnp.where(ok, idx, n)
-            ].set(jnp.where(ok, kf_obs, -1), mode="drop")
-            if int(ok.sum()) < cfg.tracking.min_matches_refkf:
-                continue
-            has = (cur_obs >= 0) & m.mp_valid[jnp.maximum(cur_obs, 0)]
-            X = m.mp_pos[jnp.maximum(cur_obs, 0)]
-            w = self.inv_sigma2[jnp.clip(feats.octave, 0, cfg.orb.n_levels - 1)]
-            Tcw0, inl, n_inl = ransac_pnp(
-                X, feats.xy_und, has, w, self.K,
-                jax.random.PRNGKey(cfg.seed + 31 * self.frame_id + cand),
-            )
-            if int(n_inl) < 10:   # minInliers (Tracking.cc:1694)
-                continue
-            Tcw, cur_obs2, n_opt = _pose_opt_on_obs(
-                m, feats, jnp.where(inl, cur_obs, -1), Tcw0, self.K,
-                self.inv_sigma2, ur=self._cur_ur,
-                bf=jnp.asarray(cfg.camera.baseline_times_fx, jnp.float32),
-            )
-            # widen with the local map before the final acceptance gate
-            cur_obs3, _ = _track_local_map(
-                m, feats, cur_obs2, Tcw, self.K, self.scale_factors,
-                jnp.asarray(1.0), cfg.orb.n_levels,
-                jnp.asarray(cfg.matcher.nn_ratio_localmap),
-                jnp.asarray(cfg.matcher.th_high),
-                max_local_points=cfg.capacity.local_ba_points,
-                local_kf_cap=cfg.tracking.local_map_kf_cap,
-            )
-            Tcw, cur_obs3, n_opt = _pose_opt_on_obs(
-                m, feats, cur_obs3, Tcw, self.K, self.inv_sigma2,
-                ur=self._cur_ur,
-                bf=jnp.asarray(cfg.camera.baseline_times_fx, jnp.float32),
-            )
-            if best is None or int(n_opt) > best[0]:
-                best = (int(n_opt), Tcw, cur_obs3)
-            if int(n_opt) >= cfg.tracking.reloc_min_inliers:
-                break
-        if best is None or best[0] < cfg.tracking.min_inliers_motion:
-            n = 0 if best is None else best[0]
-            return TrackerOutput(LOST, None, n, False)
-        n_inl, Tcw, cur_obs = best
+        cands = self._reloc_candidates(feats)
+        if not cands:
+            return TrackerOutput(LOST, None, 0, False)
+        C = 3
+        cand_list = (cands + [0] * C)[:C]
+        ok_list = [True] * min(len(cands), C) + [False] * max(C - len(cands), 0)
+        keys = jnp.stack([
+            jax.random.PRNGKey(cfg.seed + 31 * self.frame_id + k)
+            for k in cand_list
+        ])
+        bf = jnp.asarray(cfg.camera.baseline_times_fx, jnp.float32)
+        n_good, Tcw_all, obs_all = _reloc_program(
+            m, feats, jnp.asarray(cand_list, jnp.int32),
+            jnp.asarray(ok_list), keys, self.K, self.inv_sigma2,
+            self.scale_factors,
+            jnp.asarray(cfg.matcher.nn_ratio_bow, jnp.float32),
+            jnp.asarray(cfg.matcher.th_low, jnp.int32),
+            self._cur_ur, bf,
+            n_levels=cfg.orb.n_levels,
+            histo_bins=cfg.matcher.histo_length,
+            accept_n=cfg.tracking.reloc_min_inliers,
+        )
+        ng = np.asarray(n_good)  # the ONE fetch of the lost frame
+        b = int(np.argmax(ng))
+        if int(ng[b]) < cfg.tracking.reloc_min_inliers:
+            return TrackerOutput(LOST, None, int(ng[b]), False)
+        n_inl = int(ng[b])
+        Tcw, cur_obs = Tcw_all[b], obs_all[b]
         self.state = OK
         self.last_Tcw = Tcw
         self.last_feats = feats
