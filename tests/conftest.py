@@ -11,6 +11,13 @@ with a small virtual device count.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# This VM advertises AVX-512 in cpuid but faults on (some of) it: XLA:CPU
+# intermittently SIGSEGVs inside compile-and-load deep into long suites, and
+# cache loads warn "Machine type ... doesn't match ... could lead to SIGILL".
+# Cap the ISA so the JIT never emits the unsupported instructions.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_cpu_max_isa=AVX2"
+).strip()
 
 import jax  # noqa: E402
 
@@ -22,6 +29,8 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
 
 jax.config.update("jax_enable_x64", False)
-# Persistent compile cache: repeat test runs skip XLA compilation.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compile cache on CPU: XLA:CPU AOT serialization is unsafe on
+# this host (cross-machine feature mismatch on load — "+prefer-no-scatter
+# ... could lead to SIGILL" — and a reproducible segfault inside
+# executable.serialize() when writing the fused-scan program). Repeat runs
+# pay the compile; correctness beats speed here.

@@ -65,8 +65,10 @@ class TestCLI:
         ckpt = tmp_path / "map.npz"
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + " --xla_cpu_max_isa=AVX2"
+        ).strip()  # see tests/conftest.py
         env["PYTHONPATH"] = REPO
-        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
         r = subprocess.run(
             [
                 sys.executable, "-m", "weiner_slamit_v2_tpu.cli",
@@ -82,3 +84,62 @@ class TestCLI:
         assert summary["tracked_ok"] > 5
         assert "ate_rmse" in summary
         assert out.exists() and ckpt.exists()
+
+
+class TestPoseNetParams:
+    """Param checkpoint round-trip + CLI wiring (the posenet_model.tflite
+    load flow, src/Posenet.cc:30-42): externally supplied params must load,
+    validate, and change the decoded keypoints deterministically."""
+
+    def test_roundtrip_and_decoding_changes(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from weiner_slamit_v2_tpu.models import posenet
+
+        p1 = posenet.init_params(jax.random.PRNGKey(3))
+        p2 = posenet.init_params(jax.random.PRNGKey(4))
+        f = tmp_path / "posenet.npz"
+        posenet.save_params(str(f), p1)
+        loaded = posenet.load_params(str(f))
+
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 255, (257, 257, 3)), jnp.float32)
+        pos_a, sc_a = posenet.estimate_single_pose(loaded, img)
+        pos_ref, _ = posenet.estimate_single_pose(p1, img)
+        pos_b, _ = posenet.estimate_single_pose(p2, img)
+        # loaded params reproduce the saved model exactly...
+        np.testing.assert_allclose(
+            np.asarray(pos_a), np.asarray(pos_ref), atol=1e-4
+        )
+        # ...and different params decode different keypoints
+        assert float(jnp.abs(pos_a - pos_b).max()) > 1.0
+
+    def test_load_rejects_wrong_shapes(self, tmp_path):
+        import numpy as np
+        import pytest
+
+        from weiner_slamit_v2_tpu.models import posenet
+
+        f = tmp_path / "bad.npz"
+        np.savez(str(f), **{"params/Conv_0/kernel": np.zeros((3, 3, 3, 8))})
+        with pytest.raises(ValueError):
+            posenet.load_params(str(f))
+
+    def test_cli_flag_enables_head(self, tmp_path):
+        import jax
+
+        from weiner_slamit_v2_tpu import cli
+        from weiner_slamit_v2_tpu.models import posenet
+
+        params = posenet.init_params(jax.random.PRNGKey(5))
+        f = tmp_path / "pn.npz"
+        posenet.save_params(str(f), params)
+        out = tmp_path / "traj.txt"
+        cli.main([
+            "--dataset", "synthetic", "--frames", "6",
+            "--posenet-params", str(f), "--out", str(out),
+            "--no-loop-closing",
+        ])
+        assert out.exists()

@@ -395,3 +395,51 @@ class TestConcurrentGlobalBA:
         assert bool(jnp.all(jnp.isfinite(m.kf_pose)))
         assert bool(jnp.all(jnp.isfinite(jnp.where(
             m.mp_valid[:, None], m.mp_pos, 0.0))))
+
+
+class TestLoopRecallPipelined:
+    """Loop-machinery plumbing under pipelined timing (frames_per_sync=4 +
+    mapping_latency_frames=3): every keyframe created through batched scan
+    resolution and adopted through the staged mapping pipeline must reach
+    LoopCloser.on_keyframe exactly once, in order — the consistency
+    accumulation (LoopClosing.cc:170-243) sees NO gaps, so recall is the
+    same as synchronous timing.
+
+    (Full synthetic loop closure under fps=4 was investigated and the
+    drift-injection scenario degrades to RELOCALIZATION-based recovery
+    instead — tracking notices the inconsistency while lost, and reloc
+    re-attaches to the drifted region directly. Both recovery paths are
+    exercised: loop closure by TestLoopClosureEndToEnd (synchronous),
+    relocalization by TestStagedRelocalization in test_tracking.py.)"""
+
+    def test_every_pipelined_keyframe_reaches_loop_closer(self):
+        from weiner_slamit_v2_tpu.config import TrackingConfig
+
+        seq = disjoint_out_and_back(n_frames=240)
+        cfg = loop_config().replace(
+            capacity=MapCapacityConfig(
+                max_keyframes=96, max_map_points=8192, max_obs_per_point=16,
+                local_ba_window=8, local_ba_points=1024,
+            ),
+            tracking=TrackingConfig(
+                mapping_latency_frames=3, frames_per_sync=4,
+                pipeline_warmup_kfs=6, reloc_min_inliers=20,
+            ),
+        )
+        cam = Camera.create(FX, FX, 159.5, 119.5, width=W, height=H)
+        sys_ = System(cfg, cam, enable_loop_closing=True)
+        lc = sys_.loop_closer
+        seen: list[int] = []
+        orig = lc.on_keyframe
+        lc.on_keyframe = lambda kf_id: (seen.append(kf_id), orig(kf_id))[1]
+        n_lost = 0
+        for f in seq.frames:
+            out = sys_.track_monocular(f.image, f.timestamp)
+            n_lost += out.state == "LOST"
+        sys_.finish()
+        t = sys_.tracker
+        assert n_lost == 0, f"pipelined tracking lost {n_lost} frames"
+        assert t.n_kf_host >= 20
+        # every mapping-pass keyframe reached the loop closer once, in order
+        expected = list(range(2, t.n_kf_host))
+        assert seen == expected, (seen, expected)

@@ -92,3 +92,85 @@ class TestExtractorPallasPath:
             np.asarray(f_p.valid), np.asarray(f_xla.valid)
         )
         assert int(f_xla.valid.sum()) > 32
+
+
+class TestWindowedMatcherPallas:
+    """ops/match_pallas.py::windowed_best2_pallas must be bit-identical to
+    the XLA reference (masked_distance_matrix + best_and_second) for every
+    gate combination, including under vmap (the fuse-targets pattern)."""
+
+    def _inputs(self, seed=0, N1=200, N2=300):
+        rng = np.random.default_rng(seed)
+        d1 = jnp.asarray(rng.integers(0, 2**32, (N1, 8), dtype=np.uint32))
+        d2 = jnp.asarray(rng.integers(0, 2**32, (N2, 8), dtype=np.uint32))
+        v1 = jnp.asarray(rng.random(N1) > 0.1)
+        v2 = jnp.asarray(rng.random(N2) > 0.1)
+        px = jnp.asarray(rng.uniform(0, 320, (N1, 2)), jnp.float32)
+        x2 = jnp.asarray(rng.uniform(0, 320, (N2, 2)), jnp.float32)
+        win = jnp.asarray(rng.uniform(20, 120, (N1,)), jnp.float32)
+        lo = jnp.asarray(rng.integers(0, 3, N1), jnp.int32)
+        o2 = jnp.asarray(rng.integers(0, 6, N2), jnp.int32)
+        w2 = jnp.asarray(rng.uniform(0.3, 1.0, (N2,)), jnp.float32)
+        return d1, d2, v1, v2, px, x2, win, lo, lo + 2, o2, w2
+
+    def _reference(self, d1, d2, v1, v2, px, x2, win, lo, hi, o2,
+                   w2=None, th=0.0):
+        from weiner_slamit_v2_tpu.ops import hamming
+
+        du = jnp.abs(x2[None, :, 0] - px[:, None, 0])
+        dv = jnp.abs(x2[None, :, 1] - px[:, None, 1])
+        pair = (du < win[:, None]) & (dv < win[:, None])
+        pair = pair & (o2[None, :] >= lo[:, None]) & (o2[None, :] <= hi[:, None])
+        if w2 is not None and th > 0:
+            c2 = ((x2[None, :, 0] - px[:, None, 0]) ** 2
+                  + (x2[None, :, 1] - px[:, None, 1]) ** 2) * w2[None, :]
+            pair = pair & (c2 <= th)
+        dist = hamming.masked_distance_matrix(d1, d2, v1, v2, pair)
+        return hamming.best_and_second(dist)
+
+    def test_matches_xla_reference(self):
+        from weiner_slamit_v2_tpu.ops.match_pallas import windowed_best2_pallas
+
+        d1, d2, v1, v2, px, x2, win, lo, hi, o2, w2 = self._inputs()
+        ri, rb, rs = self._reference(d1, d2, v1, v2, px, x2, win, lo, hi, o2)
+        bi, bd, sd = windowed_best2_pallas(
+            d1, d2, v1, v2, px, x2, win, lo, hi, o2, interpret=True
+        )
+        ok = np.asarray(rb) < 10_000
+        np.testing.assert_array_equal(np.asarray(bd), np.asarray(rb))
+        np.testing.assert_array_equal(np.asarray(bi)[ok], np.asarray(ri)[ok])
+        np.testing.assert_array_equal(np.asarray(sd), np.asarray(rs))
+
+    def test_chi2_gate(self):
+        from weiner_slamit_v2_tpu.ops.match_pallas import windowed_best2_pallas
+
+        d1, d2, v1, v2, px, x2, win, lo, hi, o2, w2 = self._inputs(seed=5)
+        th = 50.0
+        ri, rb, rs = self._reference(
+            d1, d2, v1, v2, px, x2, win, lo, hi, o2, w2, th
+        )
+        bi, bd, sd = windowed_best2_pallas(
+            d1, d2, v1, v2, px, x2, win, lo, hi, o2,
+            chi2_w=w2, chi2_th=th, interpret=True,
+        )
+        ok = np.asarray(rb) < 10_000
+        np.testing.assert_array_equal(np.asarray(bd), np.asarray(rb))
+        np.testing.assert_array_equal(np.asarray(bi)[ok], np.asarray(ri)[ok])
+        np.testing.assert_array_equal(np.asarray(sd), np.asarray(rs))
+
+    def test_vmap_over_targets(self):
+        import jax
+
+        from weiner_slamit_v2_tpu.ops.match_pallas import windowed_best2_pallas
+
+        d1, d2, v1, v2, px, x2, win, lo, hi, o2, w2 = self._inputs(seed=9)
+        ri, rb, rs = self._reference(d1, d2, v1, v2, px, x2, win, lo, hi, o2)
+        B = 3
+        bi, bd, sd = jax.vmap(
+            lambda dd, xx, oo, vv: windowed_best2_pallas(
+                d1, dd, v1, vv, px, xx, win, lo, hi, oo, interpret=True
+            )
+        )(jnp.stack([d2] * B), jnp.stack([x2] * B),
+          jnp.stack([o2] * B), jnp.stack([v2] * B))
+        for b in range(B):
+            np.testing.assert_array_equal(np.asarray(bd[b]), np.asarray(rb))

@@ -20,9 +20,9 @@ def run_in_subprocess(code: str, n_devices: int = 2, timeout: int = 560) -> str:
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n_devices}"
+        + " --xla_cpu_max_isa=AVX2"  # see tests/conftest.py
     ).strip()
     env["PYTHONPATH"] = REPO
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache_md"
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -40,7 +40,6 @@ class TestShardedBA:
         single-device solver (same math, psum-reduced)."""
         code = """
 import jax, numpy as np, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache_md")
 import sys; sys.path.insert(0, %r)
 from tests.test_optim import make_ba_problem
 from weiner_slamit_v2_tpu.optim.local_ba import solve_ba
@@ -81,7 +80,6 @@ class TestGraftEntry:
         code = """
 import sys; sys.path.insert(0, %r)
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache_md")
 import importlib.util
 spec = importlib.util.spec_from_file_location("ge", %r + "/__graft_entry__.py")
 ge = importlib.util.module_from_spec(spec)
@@ -130,6 +128,7 @@ print("MULTIHOST_OK", jax.process_index())
         env["XLA_FLAGS"] = (
             env.get("XLA_FLAGS", "")
             + " --xla_force_host_platform_device_count=2"
+            + " --xla_cpu_max_isa=AVX2"  # see tests/conftest.py
         ).strip()
         env["PYTHONPATH"] = REPO
         env["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:57731"
@@ -158,7 +157,6 @@ class TestShardedBAStereo:
         dropped obs_ur/obs_has_ur/bf)."""
         code = """
 import jax, numpy as np, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache_md")
 import sys; sys.path.insert(0, %r)
 from tests.test_optim import make_ba_problem
 from weiner_slamit_v2_tpu.geometry import se3
@@ -187,6 +185,73 @@ dx = float(jnp.abs(res_local.points - res_shard.points).max())
 di = int((res_local.obs_inlier != res_shard.obs_inlier).sum())
 print("MAXDIFF", dp, dx, di)
 assert dp < 1e-3 and dx < 1e-2 and di == 0, (dp, dx, di)
+print("OK")
+""" % (REPO,)
+        out = run_in_subprocess(code, n_devices=2)
+        assert "OK" in out, out
+
+
+class TestSystemDistributedGBA:
+    def test_live_map_gba_over_mesh_improves_ate(self):
+        """Config-5 accuracy path: run the LIVE pipeline, perturb the map
+        (accumulated-drift stand-in), then System.distributed_gba over a
+        2-device virtual mesh must reduce the trajectory ATE and agree with
+        the local solver (same math, psum-reduced)."""
+        code = """
+import jax, numpy as np, jax.numpy as jnp
+import sys; sys.path.insert(0, %r)
+from weiner_slamit_v2_tpu.config import (
+    CameraConfig, MapCapacityConfig, OrbConfig, SlamConfig)
+from weiner_slamit_v2_tpu.geometry.camera import Camera
+from weiner_slamit_v2_tpu.io.datasets import make_synthetic_sequence
+from weiner_slamit_v2_tpu.io.evaluation import ate_rmse
+from weiner_slamit_v2_tpu.tracking.system import System
+from weiner_slamit_v2_tpu.optim.ba_extract import extract_global_ba
+from weiner_slamit_v2_tpu.optim.local_ba import solve_ba
+
+H, W = 240, 320
+K = np.array([[300.0, 0, 159.5], [0, 300.0, 119.5], [0, 0, 1]], np.float32)
+cfg = SlamConfig(
+    orb=OrbConfig(n_features=256),
+    camera=CameraConfig(fx=300, fy=300, cx=159.5, cy=119.5, k1=0, k2=0,
+                        p1=0, p2=0, k3=0, width=W, height=H),
+    capacity=MapCapacityConfig(max_keyframes=32, max_map_points=2048,
+                               max_obs_per_point=16, local_ba_window=8,
+                               local_ba_points=512),
+)
+cam = Camera.create(300.0, 300.0, 159.5, 119.5, width=W, height=H)
+seq = make_synthetic_sequence(n_frames=28, h=H, w=W, seed=11, motion="orbit", K=K)
+sys_ = System(cfg, cam)
+for f in seq.frames:
+    sys_.track_monocular(f.image, f.timestamp)
+sys_.finish()
+t = sys_.tracker
+assert t.n_kf_host >= 4
+
+# perturb every non-gauge keyframe + all points (drift stand-in)
+rng = np.random.default_rng(3)
+m = t.m
+nkf = m.kf_pose.shape[0]
+noise_t = jnp.asarray(rng.normal(0, 0.01, (nkf, 3)), jnp.float32)
+pose = m.kf_pose.at[:, :3, 3].add(
+    jnp.where((jnp.arange(nkf) > 0)[:, None] & m.kf_valid[:, None], noise_t, 0.0))
+pts = m.mp_pos + jnp.asarray(rng.normal(0, 0.01, m.mp_pos.shape), jnp.float32) * m.mp_valid[:, None]
+t.m = m.replace(kf_pose=pose, mp_pos=pts)
+ts, Twc = t.trajectory_Twc()
+ate_before = ate_rmse(Twc, seq.gt_Twc[-len(Twc):])
+
+# local reference solve on the SAME extraction
+prob, cam_ids, point_ids = extract_global_ba(t.m, t.K, t.inv_sigma2, gauge_kf=0)
+res_local = solve_ba(prob, 5, 10)
+
+res = sys_.distributed_gba(iters=15)
+ts, Twc2 = t.trajectory_Twc()
+ate_after = ate_rmse(Twc2, seq.gt_Twc[-len(Twc2):])
+dp = float(jnp.abs(res_local.cam_pose - jnp.asarray(np.asarray(res.cam_pose))).max())
+print("ATE", ate_before, "->", ate_after, "maxdiff", dp)
+assert np.isfinite(ate_after)
+assert ate_after < ate_before, (ate_before, ate_after)
+assert dp < 1e-3, dp
 print("OK")
 """ % (REPO,)
         out = run_in_subprocess(code, n_devices=2)

@@ -363,6 +363,18 @@ class BowIndex:
         if self.sparse:
             wid, wt = sparse_bow_row(self.vocab, words)
             S = self.db.wid.shape[1]
+            if wid.shape[0] > S:
+                # the frame's distinct-word list exceeds the row capacity:
+                # truncation underestimates its similarity scores. Size
+                # sparse_slots to the feature budget (from_pretrained
+                # callers: pass sparse_slots=n_features) to avoid this.
+                import warnings
+
+                warnings.warn(
+                    f"sparse BoW row truncated: {wid.shape[0]} words > "
+                    f"{S} slots; scores for this frame are underestimated",
+                    stacklevel=2,
+                )
             wid, wt = wid[:S], wt[:S]
             pad = S - wid.shape[0]
             if pad > 0:

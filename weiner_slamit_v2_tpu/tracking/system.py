@@ -23,6 +23,7 @@ import numpy as np
 
 from ..config import SlamConfig
 from ..geometry.camera import Camera
+from ..geometry.se3 import inv as se3_inv
 from ..io import trajectory as traj_io
 from .local_mapping import mapping_finish, mapping_pre, mapping_step
 from .tracker import Tracker, TrackerOutput
@@ -383,6 +384,13 @@ class System:
             for i, (ts, T_cr, ref) in enumerate(t.trajectory):
                 if ref == c:
                     t.trajectory[i] = (ts, _mat(T_cr) @ T_cp, new_ref)
+            # in-flight pipelined records recorded this slot as their anchor:
+            # remap them at resolution time (tracker.culled_remap); chain
+            # earlier remaps that pointed AT the newly culled slot
+            for k, (T_prev, r_prev) in list(t.culled_remap.items()):
+                if r_prev == c:
+                    t.culled_remap[k] = (T_prev @ T_cp, new_ref)
+            t.culled_remap[c] = (T_cp, new_ref)
             if t.ref_kf == c and new_ref >= 0:
                 t.ref_kf = new_ref
 
@@ -437,6 +445,9 @@ class System:
             t.last_obs = jnp.where(
                 t.last_obs >= 0, mp_map[jnp.maximum(t.last_obs, 0)], -1
             )
+        # the pipeline was drained by finish(): no in-flight records can
+        # reference pre-compaction slots, so the remap table resets
+        t.culled_remap.clear()
         t.bow.permute(kf_map)
         if self.loop_closer is not None:
             lc = self.loop_closer
@@ -501,11 +512,15 @@ class System:
         self, left: np.ndarray, right: np.ndarray, timestamp: float
     ) -> TrackerOutput:
         """Stereo entry (System::TrackStereo, src/System.cc:215-258):
-        row-banded stereo matching supplies per-feature depth."""
+        row-banded stereo matching supplies per-feature depth. uint8 frames
+        ship as-is (4x fewer host->device bytes); device programs cast."""
         self._pre_frame()
+        u8 = lambda a: (  # noqa: E731
+            a if getattr(a, "dtype", None) == np.uint8
+            else np.asarray(a, np.float32)
+        )
         return self.tracker.process_frame(
-            np.asarray(left, np.float32), timestamp,
-            image_right=np.asarray(right, np.float32),
+            u8(left), timestamp, image_right=u8(right),
         )
 
     def activate_localization_mode(self):
@@ -524,6 +539,56 @@ class System:
         self.tracker.reset()
         self.tracker.trajectory.clear()
         self.tracker.frame_id = -1
+
+    # ------------------------------------------------------------------
+    def distributed_gba(self, mesh=None, axis: str = "ba", iters=None):
+        """Full-map global bundle adjustment SHARDED over a device mesh and
+        adopted into the live session — the multi-chip form of
+        LoopClosing::RunGlobalBundleAdjustment (src/LoopClosing.cc:658-758).
+        Points (and their observation planes) are partitioned across the
+        mesh axis; each device accumulates its shard's normal equations and
+        the reduced camera system is psum'd over ICI
+        (parallel/sharded_ba.py). mesh=None builds a 1-axis mesh over all
+        visible devices. Drains the pipeline first; returns the BAResult
+        (final_cost is the replicated global robust cost)."""
+        from ..optim.ba_extract import extract_global_ba
+        from ..parallel.sharded_ba import (
+            make_ba_mesh, shard_problem, solve_ba_sharded,
+        )
+        from ..slam_map.point_stats import refresh_point_stats
+        from .loop_closing import _adopt_gba
+
+        self.finish()
+        t = self.tracker
+        if mesh is None:
+            mesh = make_ba_mesh(axis=axis)
+        n_iters = iters if iters is not None else self.cfg.optim.global_ba_iters
+        gauge = int(np.flatnonzero(np.asarray(t.m.kf_valid))[0])
+        prob, cam_ids, point_ids = extract_global_ba(
+            t.m, t.K, t.inv_sigma2, gauge_kf=gauge,
+            bf=self.cfg.camera.baseline_times_fx,
+        )
+        prob_s = shard_problem(prob, mesh, axis)
+        res = solve_ba_sharded(
+            prob_s, mesh, iters1=5, iters2=max(n_iters - 5, 1), axis=axis,
+        )
+        # gather the sharded outputs back to the session's device before
+        # adoption (the map pytree is single-device)
+        dev = t.m.kf_pose.devices().pop()
+        cam_pose = jax.device_put(np.asarray(res.cam_pose), dev)
+        points = jax.device_put(np.asarray(res.points), dev)
+        old_ref_pose = t.m.kf_pose[t.ref_kf]
+        t.m = _adopt_gba(
+            t.m, cam_pose, cam_ids, points, point_ids,
+            jnp.asarray(t.n_kf_host, jnp.int32),
+        )
+        t.m = refresh_point_stats(t.m, t.scale_factors)
+        if t.last_Tcw is not None:
+            t.last_Tcw = (
+                t.last_Tcw @ se3_inv(old_ref_pose) @ t.m.kf_pose[t.ref_kf]
+            )
+        t.velocity = None
+        return res
 
     # ------------------------------------------------------------------
     def save_map(self, path: str):

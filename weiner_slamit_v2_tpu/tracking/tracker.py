@@ -663,13 +663,18 @@ def _track_step_impl(
     rhas = (robs >= 0) & m.kf_feat_valid[ref_kf] & m.mp_valid[rmp]
     n_ref = jnp.sum(rhas & (m.mp_n_obs[rmp] >= min_obs)).astype(jnp.int32)
 
-    # stereo close-point statistics for NeedNewKeyFrame's c1c
-    # (Tracking.cc:1264-1273: tracked/untracked points with depth inside
-    # ThDepth) — zeros on the mono path
+    # stereo close-point statistics for NeedNewKeyFrame's ratioMap
+    # (Tracking.cc:1238-1263): nMap = close-depth features matched to an
+    # OBSERVED map point, nTotal = all close-depth features; the packed
+    # scalars carry (nMap, nTotal - nMap). Zeros on the mono path.
     if depth is not None:
         close = feats.valid & (depth > 0) & (depth < depth_threshold)
-        n_close_t = jnp.sum(close & (obs_f >= 0)).astype(jnp.int32)
-        n_close_u = jnp.sum(close & (obs_f < 0)).astype(jnp.int32)
+        mp_of = jnp.maximum(obs_f, 0)
+        has_map = (
+            (obs_f >= 0) & m.mp_valid[mp_of] & (m.mp_n_obs[mp_of] > 0)
+        )
+        n_close_t = jnp.sum(close & has_map).astype(jnp.int32)
+        n_close_u = jnp.sum(close & ~has_map).astype(jnp.int32)
     else:
         n_close_t = jnp.asarray(0, jnp.int32)
         n_close_u = jnp.asarray(0, jnp.int32)
@@ -756,6 +761,17 @@ def _freeze_kf_depth(
     N = feats.n
     free = feats.valid & (m.kf_obs[kf] < 0) & (depth > 0) & (kf_id >= 0)
     close = depth < depth_threshold
+    # far-point creation (src/Tracking.cc:1355-1394): the reference walks
+    # ALL depth-bearing features closest-first (tracked ones count toward
+    # the total) and keeps creating past ThDepth until 100 points exist —
+    # a far-field scene (few close points) still seeds the map.
+    has_depth = feats.valid & (depth > 0) & (kf_id >= 0)
+    depth_key = jnp.where(has_depth, depth, jnp.inf)
+    order = jnp.argsort(depth_key)                      # closest first
+    rank = jnp.zeros(N, jnp.int32).at[order].set(
+        jnp.arange(N, dtype=jnp.int32)
+    )
+    create = free & (close | (rank < 100))
     Xc = camera.unproject(feats.xy_und, depth)
     Xw = se3.apply(se3.inv(Tcw), Xc)
     m, _ = mt.add_map_points(
@@ -769,7 +785,7 @@ def _freeze_kf_depth(
         feat1=jnp.arange(N, dtype=jnp.int32),
         kf2=jnp.full(N, -1, jnp.int32),
         feat2=jnp.zeros(N, jnp.int32),
-        valid=free & close,
+        valid=create,
     )
     m = refresh_point_stats(m, scale_factors)
     return m, kf_id
@@ -981,6 +997,34 @@ class Tracker:
             else self._extract_track
         )
 
+        # fused per-frame programs for depth-bearing modes: extraction (+
+        # the second extraction + row-band matcher for stereo) in ONE launch,
+        # consuming the already-uploaded (uint8) frames
+        from ..ops.stereo import depth_from_depthmap, match_stereo
+
+        bf_c = np.float32(cfg.camera.baseline_times_fx)
+        minz_c = np.float32(bf_c / cfg.camera.fx if bf_c > 0 else 0.0)
+        n_levels_c = cfg.orb.n_levels
+
+        def rgbd_frame(img, dmap):
+            feats = self.extractor._extract_impl(img)
+            feats = feats.replace(xy_und=camera.undistort_points(feats.xy))
+            return feats, depth_from_depthmap(feats, dmap)
+
+        def stereo_frame(img_l, img_r):
+            fl = self.extractor._extract_impl(img_l)
+            fl = fl.replace(xy_und=camera.undistort_points(fl.xy))
+            fr = self.extractor._extract_impl(img_r)
+            fd, _ = match_stereo(
+                fl, fr, img_l.astype(jnp.float32), img_r.astype(jnp.float32),
+                jnp.asarray(bf_c), jnp.asarray(minz_c),
+                jnp.asarray(self.extractor.scales), n_levels=n_levels_c,
+            )
+            return fl, fd
+
+        self._rgbd_frame_fn = jax.jit(rgbd_frame)
+        self._stereo_frame_fn = jax.jit(stereo_frame)
+
         self.m = mt.empty_map(cfg.capacity, cfg.orb.n_features)
         # host mirror of the allocated-keyframe counter (slot ids are never
         # reused, so this avoids a device fetch per keyframe decision)
@@ -1007,13 +1051,21 @@ class Tracker:
         # (mp_visible, mp_found) snapshot at the head of the pending batch,
         # for counter rollback when a mid-batch loss is detected
         self._batch_counters = None
-        self._scan_fn = None  # built lazily (compiles on first full batch)
+        self._scan_fns = {}  # mode -> jitted fused scan (built lazily)
+        self._scan_mode = "mono"  # sensor mode of the buffered frames
         # per-frame trajectory log: (timestamp, T_cr = Tcw · Tref^-1, ref_kf)
         # — relative to the reference keyframe, like the reference's
         # (mlRelativeFramePoses, mlpReferences) lists (src/Tracking.cc:666-694)
         # so that loop/BA corrections propagate into the export
         # (System::SaveTrajectoryTUM, src/System.cc:401-454).
         self.trajectory: list[tuple[float, jnp.ndarray, int]] = []
+        # culled-keyframe re-anchoring for records still in flight: slot ->
+        # (T_culled_parent, surviving ancestor). Pipelined records whose
+        # recorded ref_kf is culled mid-resolution (a c1a/c1c forced
+        # adoption inside _resolve_pending) would otherwise append
+        # trajectory entries anchored to a dead slot that stops receiving
+        # loop/GBA corrections (the mTcp mechanism, src/KeyFrame.cc:460-552).
+        self.culled_remap: dict[int, tuple[jnp.ndarray, int]] = {}
         self.mapping_hook = None  # set by System: called with (new_kf_id)
         # mapper_idle_hook(force=False) -> bool: adopt finished async mapping
         # output / report idleness (System.mapper_idle); None = always idle
@@ -1072,28 +1124,35 @@ class Tracker:
         `image_right` enables the stereo path (rectified pair)."""
         self.frame_id += 1
         mono = depth is None and image_right is None
+        mode = "mono" if mono else ("rgbd" if depth is not None else "stereo")
         # uint8 frames transfer 4x fewer bytes over the host->device link
         # (the dominant per-frame stream on the tunneled platform); device
-        # compute casts to f32 at the head of the extract program
-        img_dev = (
-            jnp.asarray(image)
-            if getattr(image, "dtype", None) == np.uint8
-            else jnp.asarray(image, jnp.float32)
-        )
+        # compute casts to f32 at the head of the extract program. The same
+        # applies to the stereo right image; the depth map stays f32.
+        def upload(a, force_f32=False):
+            if not force_f32 and getattr(a, "dtype", None) == np.uint8:
+                return jnp.asarray(a)
+            return jnp.asarray(a, jnp.float32)
 
-        # steady-state mono fast path: buffer the raw frame and track a whole
-        # batch inside ONE device program (extraction fused into the tracking
-        # scan — kills the per-frame launch + sync overhead that otherwise
-        # floors the frame rate on this platform, PLATFORM.md §1)
+        img_dev = upload(image)
+        img_r_dev = upload(image_right) if image_right is not None else None
+        dmap_dev = upload(depth, force_f32=True) if depth is not None else None
+
+        # steady-state fast path (all sensor modes): buffer the raw frame(s)
+        # and track a whole batch inside ONE device program (extraction —
+        # and stereo matching / depth lookup — fused into the tracking scan;
+        # kills the per-frame launch + sync overhead that otherwise floors
+        # the frame rate on this platform, PLATFORM.md §1)
         cfgt = self.cfg.tracking
         just_reloc = self.frame_id < self.last_reloc_frame + 2
         if (
-            self.state == OK and mono and cfgt.frames_per_sync > 1
+            self.state == OK and cfgt.frames_per_sync > 1
             and self.n_kf_host >= cfgt.pipeline_warmup_kfs
             and not just_reloc
             and all(
                 isinstance(r["scalars"], tuple) for r in self._pending_frames
             )  # scan-batch records may stay deferred; per-frame ones may not
+            and (not self._img_buffer or self._scan_mode == mode)
         ):
             if self._posenet_fn is not None:
                 self.last_person = self._posenet_fn(self._posenet_params, img_dev)
@@ -1103,8 +1162,10 @@ class Tracker:
                 self.frame_id
                 < self.last_reloc_frame + cfgt.max_frames_between_kf
             )
+            self._scan_mode = mode
             self._img_buffer.append(dict(
-                img=img_dev, ts=timestamp, frame_id=self.frame_id,
+                img=img_dev, img_r=img_r_dev, dmap=dmap_dev,
+                ts=timestamp, frame_id=self.frame_id,
                 recent_reloc=recent_reloc,
             ))
             if len(self._img_buffer) >= cfgt.frames_per_sync:
@@ -1113,40 +1174,28 @@ class Tracker:
                 return TrackerOutput(self.state, None, -1, False, deferred=True)
             return TrackerOutput(OK, self.last_Tcw, -1, False, deferred=True)
 
-        # a frame leaving the fast path (loss, depth frame, reloc) drains any
+        # a frame leaving the fast path (loss, mode switch, reloc) drains any
         # buffered-but-untracked frames first so ordering is preserved
         if self._img_buffer:
             self._drain_img_buffer()
         initializing = self.state in (NO_IMAGES_YET, NOT_INITIALIZED)
-        extract = self._extract_init if (initializing and mono) else self._extract_track
-        feats = extract(img_dev)
         if self._posenet_fn is not None:
             # async dispatch; results are device futures (no per-frame sync)
             self.last_person = self._posenet_fn(self._posenet_params, img_dev)
 
-        # per-feature depth for stereo / RGB-D frames
+        # extraction (+ per-feature depth for stereo / RGB-D) as one fused
+        # program per mode — the stereo pair is uploaded ONCE and both
+        # extractions + the row-band matcher share the launch
         feat_depth = None
-        if depth is not None:
-            from ..ops.stereo import depth_from_depthmap
-
-            if not hasattr(self, "_depth_fn"):
-                self._depth_fn = jax.jit(depth_from_depthmap)
-            feat_depth = self._depth_fn(feats, jnp.asarray(depth, jnp.float32))
-        elif image_right is not None:
-            from ..ops.stereo import match_stereo
-
-            if not hasattr(self, "_stereo_fn"):
-                self._stereo_fn = jax.jit(
-                    match_stereo, static_argnames=("n_levels",)
-                )
-            feats_r = self._extract_track(jnp.asarray(image_right, jnp.float32))
-            bf = jnp.asarray(self.cfg.camera.baseline_times_fx, jnp.float32)
-            min_z = bf / jnp.asarray(self.camera.fx)
-            feat_depth, _ = self._stereo_fn(
-                feats, feats_r, jnp.asarray(image, jnp.float32),
-                jnp.asarray(image_right, jnp.float32), bf, min_z,
-                self.scale_factors, n_levels=self.cfg.orb.n_levels,
+        if mode == "rgbd":
+            feats, feat_depth = self._rgbd_frame_fn(img_dev, dmap_dev)
+        elif mode == "stereo":
+            feats, feat_depth = self._stereo_frame_fn(img_dev, img_r_dev)
+        else:
+            extract = (
+                self._extract_init if initializing else self._extract_track
             )
+            feats = extract(img_dev)
         self._cur_depth = feat_depth
         # current frame's stereo right-u (mvuRight) for the 3-dof pose rows
         if feat_depth is not None:
@@ -1404,14 +1453,19 @@ class Tracker:
         self._drain_img_buffer()
         self._resolve_pending()
 
-    def _build_scan_fn(self):
+    def _build_scan_fn(self, mode: str = "mono"):
         """Jit the fused N-frame tracking program: lax.scan of
-        (extract -> undistort -> _track_step) over a stacked image batch,
-        carrying only the state a frame actually mutates (the two counter
-        planes + per-frame chain state). One program launch and one scalar
-        fetch replace 2-3 launches and a ~22 ms sync PER FRAME
-        (PLATFORM.md §1) — the reference gets the same effect from its
-        camera thread running free of the mapping thread."""
+        (extract -> undistort [-> stereo match / depth lookup] ->
+        _track_step) over a stacked frame batch, carrying only the state a
+        frame actually mutates (the two counter planes + per-frame chain
+        state). One program launch and one scalar fetch replace 2-3 launches
+        and a ~22 ms sync PER FRAME (PLATFORM.md §1) — the reference gets
+        the same effect from its camera thread running free of the mapping
+        thread. mode selects the per-frame depth source: "mono" none,
+        "rgbd" depth-map lookup, "stereo" fused right-image extraction +
+        row-band matching (Frame::ComputeStereoMatches)."""
+        from ..ops.stereo import depth_from_depthmap, match_stereo
+
         cfg = self.cfg
         camera = self.camera
         extract_impl = self.extractor._extract_impl
@@ -1423,35 +1477,64 @@ class Tracker:
             pose_iters=cfg.optim.pose_opt_iters,
             histo_bins=cfg.matcher.histo_length,
         )
+        bf_c = np.float32(cfg.camera.baseline_times_fx)
+        minz_c = np.float32(bf_c / cfg.camera.fx if bf_c > 0 else 0.0)
+        thr_c = np.float32(cfg.camera.depth_threshold)
 
         def scan_fn(
-            m, imgs, last_obs, last_octave, last_angle, has_vel, vel,
+            m, xs, last_obs, last_octave, last_angle, has_vel, vel,
             last_Tcw, ref_kf, K, scale_factors, inv_sigma2, p,
         ):
-            def body(carry, img):
+            def body(carry, x):
                 (mp_visible, mp_found, lobs, loct, lang, hv, v, lT) = carry
-                feats = extract_impl(img)
+                feats = extract_impl(x["img"])
                 feats = feats.replace(
                     xy_und=camera.undistort_points(feats.xy)
                 )
+                if mode == "rgbd":
+                    fd = depth_from_depthmap(feats, x["dmap"])
+                elif mode == "stereo":
+                    fr = extract_impl(x["img_r"])
+                    fd, _ = match_stereo(
+                        feats, fr,
+                        x["img"].astype(jnp.float32),
+                        x["img_r"].astype(jnp.float32),
+                        jnp.asarray(bf_c), jnp.asarray(minz_c),
+                        scale_factors, n_levels=cfg.orb.n_levels,
+                    )
+                else:
+                    fd = None
+                if fd is not None:
+                    ur = jnp.where(
+                        (fd > 0) & (bf_c > 0),
+                        feats.xy_und[:, 0] - bf_c / jnp.maximum(fd, 1e-6),
+                        -1.0,
+                    )
+                else:
+                    ur = None
                 m_c = m.replace(mp_visible=mp_visible, mp_found=mp_found)
                 m2, Tcw, cur_obs, vel_new, T_cr, scalars, inc = (
                     _track_step_impl(
                         m_c, feats, lobs, loct, lang, hv, v, lT, ref_kf,
                         K, scale_factors, inv_sigma2, p, **statics,
+                        ur=ur, bf=jnp.asarray(bf_c), depth=fd,
+                        depth_threshold=jnp.asarray(thr_c),
                     )
                 )
                 carry2 = (
                     m2.mp_visible, m2.mp_found, cur_obs, feats.octave,
                     feats.angle, jnp.asarray(True), vel_new, Tcw,
                 )
-                return carry2, (feats, Tcw, cur_obs, T_cr, scalars, inc)
+                outs = (feats, Tcw, cur_obs, T_cr, scalars, inc)
+                if fd is not None:
+                    outs = outs + (fd,)
+                return carry2, outs
 
             carry0 = (
                 m.mp_visible, m.mp_found, last_obs, last_octave,
                 last_angle, has_vel, vel, last_Tcw,
             )
-            return jax.lax.scan(body, carry0, imgs)
+            return jax.lax.scan(body, carry0, xs)
 
         return jax.jit(scan_fn)
 
@@ -1463,6 +1546,7 @@ class Tracker:
         if not recs:
             return
         cfg = self.cfg
+        mode = self._scan_mode
         if len(recs) != cfg.tracking.frames_per_sync:
             # partial batch (flush mid-batch): per-frame path, same records
             for r in recs:
@@ -1471,13 +1555,32 @@ class Tracker:
                         last = self.trajectory[-1]
                         self.trajectory.append((r["ts"], last[1], last[2]))
                     continue
-                feats = self._extract_track(r["img"])
+                if mode == "rgbd":
+                    feats, fd = self._rgbd_frame_fn(r["img"], r["dmap"])
+                elif mode == "stereo":
+                    feats, fd = self._stereo_frame_fn(r["img"], r["img_r"])
+                else:
+                    feats, fd = self._extract_track(r["img"]), None
+                self._cur_depth = fd
+                if fd is not None:
+                    bf_v = cfg.camera.baseline_times_fx
+                    self._cur_ur = jnp.where(
+                        (fd > 0) & (bf_v > 0),
+                        feats.xy_und[:, 0] - bf_v / jnp.maximum(fd, 1e-6),
+                        -1.0,
+                    )
+                else:
+                    self._cur_ur = None
                 self._track(feats, r["ts"], frame_id=r["frame_id"])
             self._resolve_pending()
             return
-        if self._scan_fn is None:
-            self._scan_fn = self._build_scan_fn()
-        imgs = jnp.stack([r["img"] for r in recs])
+        if mode not in self._scan_fns:
+            self._scan_fns[mode] = self._build_scan_fn(mode)
+        xs = {"img": jnp.stack([r["img"] for r in recs])}
+        if mode == "rgbd":
+            xs["dmap"] = jnp.stack([r["dmap"] for r in recs])
+        elif mode == "stereo":
+            xs["img_r"] = jnp.stack([r["img_r"] for r in recs])
         has_vel = self.velocity is not None
         vel = self.velocity if has_vel else self._eye4
         p = self.params.replace(local_th=jnp.asarray(1.0, jnp.float32))
@@ -1486,14 +1589,18 @@ class Tracker:
         # available — reading them off last_feats would materialize slices
         loct = self._carry_oct if self._carry_oct is not None else self.last_feats.octave
         lang = self._carry_ang if self._carry_ang is not None else self.last_feats.angle
-        carry, outs = self._scan_fn(
-            self.m, imgs, self.last_obs, loct, lang,
+        carry, outs = self._scan_fns[mode](
+            self.m, xs, self.last_obs, loct, lang,
             jnp.asarray(has_vel), vel, self.last_Tcw,
             jnp.asarray(self.ref_kf, jnp.int32), self.K, self.scale_factors,
             self.inv_sigma2, p,
         )
         mp_visible, mp_found, last_obs, loct_n, lang_n, _, vel_new, last_Tcw = carry
-        feats_s, Tcw_s, obs_s, T_cr_s, scalars_s, inc_s = outs
+        depth_s = None
+        if mode == "mono":
+            feats_s, Tcw_s, obs_s, T_cr_s, scalars_s, inc_s = outs
+        else:
+            feats_s, Tcw_s, obs_s, T_cr_s, scalars_s, inc_s, depth_s = outs
         self.m = self.m.replace(mp_visible=mp_visible, mp_found=mp_found)
         self.velocity = vel_new
         self.last_Tcw = last_Tcw
@@ -1517,7 +1624,8 @@ class Tracker:
                 cur_obs=("sliced", obs_s, i),
                 T_cr=("sliced", T_cr_s, i),
                 ts=rec["ts"], frame_id=rec["frame_id"], ref_kf=self.ref_kf,
-                recent_reloc=rec["recent_reloc"], depth=None,
+                recent_reloc=rec["recent_reloc"],
+                depth=None if depth_s is None else ("sliced", depth_s, i),
                 inc_bits=("sliced", inc_s, i),
             ))
         # DELAYED RESOLUTION: the just-launched batch stays deferred; only
@@ -1635,12 +1743,15 @@ class Tracker:
                 self._create_keyframe(
                     _mat(rec["feats"]), _mat(rec["Tcw"]),
                     _mat(rec["cur_obs"]), rec["ts"],
-                    frame_id=rec["frame_id"], depth=rec["depth"],
+                    frame_id=rec["frame_id"], depth=_mat(rec["depth"]),
                 )
                 created = True
                 last_created_fid = rec["frame_id"]
             if created:
                 self.trajectory.append((rec["ts"], self._eye4, self.ref_kf))
+            elif rec["ref_kf"] in self.culled_remap:
+                T_cp, nr = self.culled_remap[rec["ref_kf"]]
+                self.trajectory.append((rec["ts"], _mat(rec["T_cr"]) @ T_cp, nr))
             else:
                 self.trajectory.append((rec["ts"], rec["T_cr"], rec["ref_kf"]))
 
@@ -1706,6 +1817,7 @@ class Tracker:
         self._pending_frames.clear()
         self._img_buffer.clear()
         self._batch_counters = None
+        self.culled_remap.clear()
         # the trajectory prefix references the OLD map's keyframe poses; bake
         # every entry to an absolute pose (ref=-1) before the poses vanish,
         # exactly like compaction does for culled anchors
@@ -1755,6 +1867,7 @@ class Tracker:
         self._pending_frames.clear()
         self._img_buffer.clear()
         self._batch_counters = None
+        self.culled_remap.clear()
         if self.reset_hook is not None:
             self.reset_hook()
         self.m = m
@@ -1811,14 +1924,23 @@ class Tracker:
         ):
             return False
         mono = cfg.sensor == "monocular"
-        # Tracking.cc:1270-1273: bNeedToInsertClose
-        need_close = (not mono) and (
-            n_close_tracked < 100 and n_close_untracked > 70
+        # ratioMap (this fork's Tracking.cc:1238-1276): close map-matches /
+        # all close-depth features — "how many MapPoints we could create if
+        # we insert a keyframe"; 1.0 on the mono path
+        n_close_total = n_close_tracked + n_close_untracked
+        ratio_map = (
+            n_close_tracked / max(1, n_close_total) if not mono else 1.0
         )
-        # thRefRatio: 0.75 stereo/RGB-D, 0.9 mono (Tracking.cc:1276-1281)
-        th_ref = cfg.tracking.keyframe_min_ratio if mono else 0.75
+        # thRefRatio: 0.9 mono; 0.75 stereo/RGB-D, relaxed to 0.4 while the
+        # map has <2 keyframes (Tracking.cc:1265-1271)
+        if mono:
+            th_ref = cfg.tracking.keyframe_min_ratio
+        else:
+            th_ref = 0.4 if n_kf_valid < 2 else 0.75
+        # thMapRatio: 0.35, or 0.20 when tracking is rich (Tracking.cc:1273)
+        th_map = 0.20 if n_inliers > 300 else 0.35
         c2 = (
-            (n_inliers < n_ref * th_ref) or need_close
+            (n_inliers < n_ref * th_ref) or (ratio_map < th_map)
         ) and n_inliers > 15
         # bootstrap escape: right after depth initialization the single
         # keyframe's points all have ONE observation, so n_ref
@@ -1838,8 +1960,9 @@ class Tracker:
         c1b = (
             fid >= self.last_kf_frame + cfg.tracking.min_frames_between_kf
         ) and idle
+        # c1c "tracking is weak" (Tracking.cc:1280-1281)
         c1c = (not mono) and (
-            n_inliers < n_ref * 0.25 or need_close
+            n_inliers < n_ref * 0.25 or ratio_map < 0.3
         )
         if (c1a or c1c) and not idle:
             # InterruptBA (src/LocalMapping.cc:127): abort queued BA chunks
