@@ -136,18 +136,23 @@ def _prep_frames(seq, resident, with_right=False, with_depth=False):
     return imgs, rights, depths
 
 
-def _run_session(sys_, feed, n_warm, n_timed, warm_until=None):
+def _run_session(sys_, feed, n_warm, n_timed, warm_until=None,
+                 max_warm=None):
     """Feed frames; return steady-state fps timed over the last n_timed.
 
     warm_until: optional predicate — warmup continues past n_warm until it
-    returns True (bounded at 3x n_warm frames total), so one-time events
-    (fused-scan compile at 8 keyframes, nKF=16 vocabulary retrain) stay out
-    of the timed window (PLATFORM.md §2b)."""
+    returns True (bounded at max_warm frames, default 3x n_warm), so
+    one-time events (fused-scan compile at 8 keyframes, nKF=16 vocabulary
+    retrain) stay out of the timed window (PLATFORM.md §2b). The round-4
+    AND round-5 config-2 cells were compile-dominated because the bound was
+    too small for the keyframe cadence — bench.py warms up to 240 frames
+    for the same reason."""
     import numpy as np  # noqa: F401
 
+    cap = max_warm if max_warm is not None else 3 * n_warm
     i = 0
     while i < n_warm or (
-        warm_until is not None and not warm_until() and i < 3 * n_warm
+        warm_until is not None and not warm_until() and i < cap
     ):
         feed(i)
         i += 1
@@ -200,9 +205,11 @@ def run_config(n: int, platform: str, quick: bool = False, resident: bool = Fals
     if n == 2:
         # config 2: mono + local mapping + local BA (fr2/desk proxy)
         cfg, cam, K = _mk()
+        max_warm = 200 if platform == "tpu" else 3 * n_warm
         seq = make_synthetic_sequence(
-            n_frames=n_total, h=H, w=W, seed=5, K=K, motion="orbit",
-            world="multi", photometric_noise=2.0,
+            n_frames=max_warm + n_timed + 20, h=H, w=W, seed=5, K=K,
+            motion="orbit", world="multi", photometric_noise=2.0,
+            motion_frames=n_total,
         )
         sys_ = System(cfg, cam)
         imgs, _, _ = _prep_frames(seq, resident)
@@ -210,12 +217,14 @@ def run_config(n: int, platform: str, quick: bool = False, resident: bool = Fals
         def feed(i):
             sys_.track_monocular(imgs[i], i / 30.0)
 
-        # warm past the fused-scan compile (engages at 8 keyframes) so the
-        # timed window is steady state — the round-4 campaign's config-2 TPU
-        # cell was compile-dominated without this (BASELINE.md caveat)
+        # warm past the fused-scan compile (engages at 8 keyframes) AND the
+        # first in-scan keyframe programs so the timed window is steady
+        # state (the round-4/round-5 config-2 cells were compile-dominated
+        # with a 48-frame bound)
         fps = _run_session(
             sys_, feed, n_warm, n_timed,
-            warm_until=lambda: sys_.tracker.n_kf_host >= 9,
+            warm_until=lambda: sys_.tracker.n_kf_host >= 10,
+            max_warm=max_warm,
         )
         sys_.finish()
         ate = _ate(sys_, seq, align_scale=True)
@@ -231,9 +240,11 @@ def run_config(n: int, platform: str, quick: bool = False, resident: bool = Fals
             baseline_times_fx=STEREO_BASELINE * FX, depth_threshold=40.0,
         ))
         cfg = cfg.replace(sensor="rgbd")
+        max_warm = 200 if platform == "tpu" else 3 * n_warm
         seq = make_synthetic_sequence(
-            n_frames=n_total, h=H, w=W, seed=6, K=K, motion="orbit",
-            world="multi", photometric_noise=2.0, with_depth=True,
+            n_frames=max_warm + n_timed + 20, h=H, w=W, seed=6, K=K,
+            motion="orbit", world="multi", photometric_noise=2.0,
+            with_depth=True, motion_frames=n_total,
         )
         sys_ = System(cfg, cam)
         imgs, _, depths = _prep_frames(seq, resident, with_depth=True)
@@ -244,7 +255,8 @@ def run_config(n: int, platform: str, quick: bool = False, resident: bool = Fals
         # depth sessions use the fused scan too now; same predicate warmup
         fps = _run_session(
             sys_, feed, n_warm, n_timed,
-            warm_until=lambda: sys_.tracker.n_kf_host >= 9,
+            warm_until=lambda: sys_.tracker.n_kf_host >= 10,
+            max_warm=max_warm,
         )
         sys_.finish()
         ate = _ate(sys_, seq, align_scale=False)  # metric (depth) scale
@@ -279,29 +291,33 @@ def run_config(n: int, platform: str, quick: bool = False, resident: bool = Fals
             baseline_times_fx=STEREO_BASELINE * FX, depth_threshold=40.0,
         ))
         cfg = cfg.replace(sensor="stereo")
+        max_warm = 200 if platform == "tpu" else 3 * n_warm
         seq = make_synthetic_sequence(
-            n_frames=n_total, h=H, w=W, seed=7, K=K, motion="loop",
-            world="multi", photometric_noise=2.0,
-            stereo_baseline=STEREO_BASELINE,
+            n_frames=max_warm + n_timed + 60, h=H, w=W, seed=7,
+            K=K, motion="loop", world="multi", photometric_noise=2.0,
+            stereo_baseline=STEREO_BASELINE, motion_frames=n_total,
         )
         sys_ = System(cfg, cam, enable_loop_closing=True)
         imgs, rights, _ = _prep_frames(seq, resident, with_right=True)
 
+        fed = [0]
+
         def feed(i):
             sys_.track_stereo(imgs[i], rights[i], i / 30.0)
+            fed[0] = max(fed[0], i + 1)
 
         fps = _run_session(
             sys_, feed, n_warm, n_timed,
-            warm_until=lambda: sys_.tracker.n_kf_host >= 9,
+            warm_until=lambda: sys_.tracker.n_kf_host >= 10,
+            max_warm=max_warm,
         )
         # run the remainder of the circuit so the revisit happens inside the
         # measured session (fps stays the steady-state window above)
-        i = 0
+        i = fed[0]
         while (
-            sys_.loop_closer.n_loops_closed == 0
-            and 3 * n_warm + n_timed + i < len(seq.frames)
+            sys_.loop_closer.n_loops_closed == 0 and i < len(seq.frames)
         ):
-            feed(3 * n_warm + n_timed + i)
+            feed(i)
             i += 1
         sys_.finish()
         ate = _ate(sys_, seq, align_scale=False)
