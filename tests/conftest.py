@@ -34,3 +34,19 @@ jax.config.update("jax_enable_x64", False)
 # ... could lead to SIGILL" — and a reproducible segfault inside
 # executable.serialize() when writing the fused-scan program). Repeat runs
 # pay the compile; correctness beats speed here.
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU aborts (silently, inside backend_compile_and_load) when one
+    process accumulates several hundred large compiled programs — the full
+    suite reproducibly died around test ~145 compiling the fused tracking
+    scan, while every module passes standalone. Dropping the executable
+    caches at module boundaries bounds the accumulation; modules recompile
+    what they need (the suite is cold-compile anyway, see the cache note
+    above)."""
+    yield
+    jax.clear_caches()

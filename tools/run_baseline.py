@@ -205,7 +205,7 @@ def run_config(n: int, platform: str, quick: bool = False, resident: bool = Fals
     if n == 2:
         # config 2: mono + local mapping + local BA (fr2/desk proxy)
         cfg, cam, K = _mk()
-        max_warm = 200 if platform == "tpu" else 3 * n_warm
+        max_warm = 280 if platform == "tpu" else 3 * n_warm
         seq = make_synthetic_sequence(
             n_frames=max_warm + n_timed + 20, h=H, w=W, seed=5, K=K,
             motion="orbit", world="multi", photometric_noise=2.0,
@@ -223,7 +223,7 @@ def run_config(n: int, platform: str, quick: bool = False, resident: bool = Fals
         # with a 48-frame bound)
         fps = _run_session(
             sys_, feed, n_warm, n_timed,
-            warm_until=lambda: sys_.tracker.n_kf_host >= 10,
+            warm_until=lambda: sys_.tracker.n_kf_host >= 17,
             max_warm=max_warm,
         )
         sys_.finish()
@@ -240,7 +240,7 @@ def run_config(n: int, platform: str, quick: bool = False, resident: bool = Fals
             baseline_times_fx=STEREO_BASELINE * FX, depth_threshold=40.0,
         ))
         cfg = cfg.replace(sensor="rgbd")
-        max_warm = 200 if platform == "tpu" else 3 * n_warm
+        max_warm = 280 if platform == "tpu" else 3 * n_warm
         seq = make_synthetic_sequence(
             n_frames=max_warm + n_timed + 20, h=H, w=W, seed=6, K=K,
             motion="orbit", world="multi", photometric_noise=2.0,
@@ -255,7 +255,7 @@ def run_config(n: int, platform: str, quick: bool = False, resident: bool = Fals
         # depth sessions use the fused scan too now; same predicate warmup
         fps = _run_session(
             sys_, feed, n_warm, n_timed,
-            warm_until=lambda: sys_.tracker.n_kf_host >= 10,
+            warm_until=lambda: sys_.tracker.n_kf_host >= 17,
             max_warm=max_warm,
         )
         sys_.finish()
@@ -291,7 +291,7 @@ def run_config(n: int, platform: str, quick: bool = False, resident: bool = Fals
             baseline_times_fx=STEREO_BASELINE * FX, depth_threshold=40.0,
         ))
         cfg = cfg.replace(sensor="stereo")
-        max_warm = 200 if platform == "tpu" else 3 * n_warm
+        max_warm = 280 if platform == "tpu" else 3 * n_warm
         seq = make_synthetic_sequence(
             n_frames=max_warm + n_timed + 60, h=H, w=W, seed=7,
             K=K, motion="loop", world="multi", photometric_noise=2.0,
@@ -308,7 +308,7 @@ def run_config(n: int, platform: str, quick: bool = False, resident: bool = Fals
 
         fps = _run_session(
             sys_, feed, n_warm, n_timed,
-            warm_until=lambda: sys_.tracker.n_kf_host >= 10,
+            warm_until=lambda: sys_.tracker.n_kf_host >= 17,
             max_warm=max_warm,
         )
         # run the remainder of the circuit so the revisit happens inside the
