@@ -291,7 +291,7 @@ def run_config(n: int, platform: str, quick: bool = False, resident: bool = Fals
             baseline_times_fx=STEREO_BASELINE * FX, depth_threshold=40.0,
         ))
         cfg = cfg.replace(sensor="stereo")
-        max_warm = 280 if platform == "tpu" else 3 * n_warm
+        max_warm = 520 if platform == "tpu" else 3 * n_warm
         seq = make_synthetic_sequence(
             n_frames=max_warm + n_timed + 60, h=H, w=W, seed=7,
             K=K, motion="loop", world="multi", photometric_noise=2.0,
