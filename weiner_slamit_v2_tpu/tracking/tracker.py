@@ -1145,9 +1145,17 @@ class Tracker:
         # the frame rate on this platform, PLATFORM.md §1)
         cfgt = self.cfg.tracking
         just_reloc = self.frame_id < self.last_reloc_frame + 2
+        # the keyframe-count warmup protects KEYFRAME timing while the map
+        # is young; localization-only sessions (ActivateLocalizationMode /
+        # loaded maps) never insert keyframes, so any map size rides the
+        # fused scan
+        warmed = (
+            self.n_kf_host >= cfgt.pipeline_warmup_kfs
+            or not self.allow_keyframes
+        )
         if (
             self.state == OK and cfgt.frames_per_sync > 1
-            and self.n_kf_host >= cfgt.pipeline_warmup_kfs
+            and warmed
             and not just_reloc
             and all(
                 isinstance(r["scalars"], tuple) for r in self._pending_frames
